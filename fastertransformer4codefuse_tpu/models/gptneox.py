@@ -1,0 +1,268 @@
+"""GPT-NeoX transformer, functional and scan-based.
+
+TPU-native re-design of the reference engine's compute graph:
+  - prefill  ≙ GptNeoXContextDecoder
+    (/root/reference/src/fastertransformer/models/gptneox/GptNeoXContextDecoder.cc:223-511)
+  - decode   ≙ GptNeoXDecoder single-token step
+    (/root/reference/src/fastertransformer/models/gptneox/GptNeoXDecoder.cc:196-389)
+
+The block implements both residual schemes:
+  gptj (parallel) residual:  out = x + attn(ln1(x)) + ffn(ln2(x)) + bias_sum
+    — the reference's single-all-reduce-per-layer trick
+      (GptNeoXDecoder.cc:342-360, invokeAddBiasAttentionFfnResidual). Under
+      GSPMD the same property emerges: attn_out and ffn_out are both partial
+      sums over the TP axis, so XLA inserts exactly one all-reduce for their sum.
+  serial residual:           h = x + attn(ln1(x)) + b_proj; out = h + ffn(ln2(h)) + b_down
+
+Layers are stacked [L, ...] and driven by ``lax.scan`` — one compiled block body
+regardless of depth, mirroring how the reference loops over per-layer weight
+structs but with a single compiled program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GptNeoXConfig
+from ..ops.attention import (
+    decode_attention,
+    make_decode_valid,
+    make_prefill_mask,
+    prefill_attention,
+)
+from ..ops.layernorm import layernorm
+from ..ops.linear import linear
+from ..ops.rotary import apply_rotary, make_rotary_tables
+from .params import Params, QuantizedTensor
+
+KVCache = Tuple[jax.Array, jax.Array]  # k, v: [L, B, nH, S_max, dh]
+
+
+def init_kv_cache(
+    config: GptNeoXConfig, batch: int, max_seq_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    """Dense preallocated KV cache, the analog of the reference's
+    key_cache_/value_cache_ buffers (GptNeoX.cc:84-156). Layout
+    ``[L, B, nH, S, dh]``: contiguous [S, dh] per (batch, head) so decode reads
+    stream sequentially, and the head axis shards under TP."""
+    shape = (
+        config.layer_num,
+        batch,
+        config.head_num,
+        max_seq_len,
+        config.size_per_head,
+    )
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def _activation(config: GptNeoXConfig, x: jax.Array) -> jax.Array:
+    act = config.activation
+    if act == "gelu":
+        return jax.nn.gelu(x, approximate=False)
+    if act == "gelu-tanh":
+        return jax.nn.gelu(x, approximate=True)
+    if act == "relu":
+        return jax.nn.relu(x)
+    if act == "silu":
+        return jax.nn.silu(x)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def _layer_slice(layers: Dict[str, Any], l) -> Dict[str, Any]:
+    """Index the stacked layer axis (works for arrays and QuantizedTensors)."""
+    return {k: v[l] for k, v in layers.items()}
+
+
+def _qkv(config: GptNeoXConfig, lp, x, cos, sin):
+    """ln1 -> fused QKV -> split heads -> rotary. x: [B, S, H]."""
+    B, S, _ = x.shape
+    nH, dh = config.head_num, config.size_per_head
+    qkv = linear(x, lp["qkv_w"], lp["qkv_b"])  # [B, S, 3, nH*dh]
+    qkv = qkv.reshape(B, S, 3, nH, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, S, nH, dh]
+    rot = config.rotary_embedding_dim
+    q = apply_rotary(q, cos, sin, rot)
+    k = apply_rotary(k, cos, sin, rot)
+    return q, k, v
+
+
+def _ffn(config: GptNeoXConfig, lp, x):
+    h = linear(x, lp["up_w"], lp["up_b"])
+    h = _activation(config, h)
+    return linear(h, lp["down_w"])  # down bias applied by caller (residual fusion)
+
+
+def block_prefill(
+    config: GptNeoXConfig,
+    lp: Dict[str, Any],
+    x: jax.Array,  # [B, S, H]
+    k_cache: jax.Array,  # [B, nH, S_max, dh]
+    v_cache: jax.Array,
+    cos: jax.Array,  # [S, rot/2]
+    sin: jax.Array,
+    mask: jax.Array,  # [B, S, S]
+):
+    B, S, H = x.shape
+    sm_scale = 1.0 / (config.size_per_head ** 0.5)
+
+    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
+    q, k, v = _qkv(config, lp, ln1, cos, sin)
+
+    # write K/V for positions [0, S) into the cache (cache layout [B, nH, S_max, dh])
+    kc = jax.lax.dynamic_update_slice(
+        k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype), (0, 0, 0, 0)
+    )
+    vc = jax.lax.dynamic_update_slice(
+        v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype), (0, 0, 0, 0)
+    )
+
+    attn = prefill_attention(q, k, v, mask, sm_scale)  # [B, S, nH, dh]
+    attn_out = linear(attn.reshape(B, S, H), lp["proj_w"])
+
+    if config.use_gptj_residual:
+        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ffn_out = _ffn(config, lp, ln2)
+        # single fused residual: x + attn + ffn + summed bias
+        # (= invokeAddBiasAttentionFfnResidual, add_residual_kernels.cu)
+        out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
+    else:
+        h = x + attn_out + lp["proj_b"].astype(x.dtype)
+        ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
+    return out, kc, vc
+
+
+def _write_cache_at(cache: jax.Array, new: jax.Array, positions: jax.Array):
+    """Per-row cache write: cache[b, :, positions[b], :] = new[b]
+    (cache [B, nH, S, dh], new [B, nH, 1, dh], positions [B])."""
+    return jax.vmap(
+        lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (0, p, 0))
+    )(cache, new, positions)
+
+
+def block_decode(
+    config: GptNeoXConfig,
+    lp: Dict[str, Any],
+    x: jax.Array,  # [B, 1, H] — the newest token
+    k_cache: jax.Array,  # [B, nH, S_max, dh]
+    v_cache: jax.Array,
+    cos: jax.Array,  # [B, 1, rot/2] at per-row positions
+    sin: jax.Array,
+    positions: jax.Array,  # [B] int32: slot of each row's new token
+    valid: jax.Array,  # [B, S_max] — cache slots that participate
+):
+    B, S, H = x.shape
+    nH, dh = config.head_num, config.size_per_head
+    sm_scale = 1.0 / (config.size_per_head ** 0.5)
+
+    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
+    q, k, v = _qkv(config, lp, ln1, cos, sin)  # [B, 1, nH, dh]
+
+    kc = _write_cache_at(k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype), positions)
+    vc = _write_cache_at(v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype), positions)
+
+    attn = decode_attention(q[:, 0], kc, vc, valid, sm_scale)  # [B, nH, dh]
+    attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"])
+
+    if config.use_gptj_residual:
+        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ffn_out = _ffn(config, lp, ln2)
+        out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
+    else:
+        h = x + attn_out + lp["proj_b"].astype(x.dtype)
+        ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
+    return out, kc, vc
+
+
+def _scan_layers(config, params, x, cache, per_layer_fn):
+    """Run the layer stack via lax.scan over stacked weights + cache slabs."""
+    layers = params["layers"]
+    k_all, v_all = cache
+
+    def body(carry, xs):
+        lp, kc, vc = xs
+        y, kc, vc = per_layer_fn(lp, carry, kc, vc)
+        return y, (kc, vc)
+
+    x, (k_all, v_all) = jax.lax.scan(body, x, (layers, k_all, v_all))
+    return x, (k_all, v_all)
+
+
+def prefill(
+    config: GptNeoXConfig,
+    params: Params,
+    input_ids: jax.Array,  # [B, S] int32 (right-padded)
+    input_lengths: jax.Array,  # [B]
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Full-prompt forward. Returns (hidden [B, S, H], cache with [0,S) filled)."""
+    B, S = input_ids.shape
+    dtype = params["embed"].dtype
+    x = jnp.take(params["embed"], input_ids, axis=0).astype(dtype)
+
+    cos_t, sin_t = make_rotary_tables(S, config.rotary_embedding_dim, config.rotary_base)
+    mask = make_prefill_mask(input_lengths, S)
+
+    fn = lambda lp, x, kc, vc: block_prefill(config, lp, x, kc, vc, cos_t, sin_t, mask)
+    x, cache = _scan_layers(config, params, x, cache, fn)
+    return x, cache
+
+
+def decode_step(
+    config: GptNeoXConfig,
+    params: Params,
+    tokens: jax.Array,  # [B] int32 — newest token ids
+    positions: jax.Array,  # [B] int32 — slot/rotary position of each new token
+    cache: KVCache,
+    rotary_tables: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> Tuple[jax.Array, KVCache]:
+    """One incremental decode step. Returns (hidden [B, H], updated cache)."""
+    B = tokens.shape[0]
+    cache_len = cache[0].shape[3]
+    dtype = params["embed"].dtype
+    x = jnp.take(params["embed"], tokens, axis=0).astype(dtype)[:, None, :]  # [B,1,H]
+
+    if rotary_tables is None:
+        rotary_tables = make_rotary_tables(
+            cache_len, config.rotary_embedding_dim, config.rotary_base
+        )
+    cos_t, sin_t = rotary_tables
+    cos = jnp.take(cos_t, positions, axis=0)[:, None, :]  # [B, 1, rot/2]
+    sin = jnp.take(sin_t, positions, axis=0)[:, None, :]
+
+    valid = make_decode_valid(positions, cache_len)
+
+    fn = lambda lp, x, kc, vc: block_decode(
+        config, lp, x, kc, vc, cos, sin, positions, valid
+    )
+    x, cache = _scan_layers(config, params, x, cache, fn)
+    return x[:, 0], cache
+
+
+def final_norm(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.Array:
+    return layernorm(
+        hidden, params["final_ln_w"], params["final_ln_b"], config.layernorm_eps
+    )
+
+
+def lm_logits(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.Array:
+    """fp32 logits, the analog of the reference's fp32-out LM-head GEMM
+    (GptNeoX.cc:866-925)."""
+    h = final_norm(config, params, hidden)
+    w = params["lm_head"]
+    logits = jnp.dot(
+        h.reshape(-1, h.shape[-1]), w, preferred_element_type=jnp.float32
+    )
+    return logits.reshape(h.shape[:-1] + (config.vocab_size,))
+
+
+def last_token_hidden(hidden: jax.Array, input_lengths: jax.Array) -> jax.Array:
+    """Gather the hidden state of each sequence's last real token
+    (= invokeLookupHiddenStateOfLastToken, GptNeoXContextDecoder.cc:501)."""
+    B = hidden.shape[0]
+    idx = jnp.clip(input_lengths - 1, 0, hidden.shape[1] - 1)
+    return hidden[jnp.arange(B), idx]

@@ -1,0 +1,180 @@
+"""Parameter pytrees for GPT-NeoX models.
+
+TPU-native replacement for the reference's host-side weight container
+(/root/reference/examples/pytorch/codefuse/codefuse_example.py:182-292, a flat
+list with a fixed index layout) and the device-side weight structs
+(/root/reference/src/fastertransformer/models/gptneox/GptNeoXWeight.{h,cc}).
+
+Instead of raw pointer lists we use a nested dict pytree of jax.Arrays with all
+per-layer tensors stacked along a leading ``[layer_num, ...]`` axis so the
+transformer stack can be driven by ``lax.scan`` (one compiled block body instead
+of ``layer_num`` unrolled copies).
+
+Weight layouts (x @ W convention, in-features first):
+  qkv_w   [L, H, 3, nH*dh]    column-parallel under TP (shard last axis = heads)
+  qkv_b   [L, 3, nH*dh]
+  proj_w  [L, nH*dh, H]       row-parallel under TP (shard axis 1 = heads)
+  proj_b  [L, H]              absent when use_gptj_residual (folded into down_b)
+  up_w    [L, H, I]           column-parallel (shard I)
+  up_b    [L, I]
+  down_w  [L, I, H]           row-parallel (shard I)
+  down_b  [L, H]              = attn.dense.bias + mlp.down.bias when gptj residual
+                                (reference converter pre-sums them:
+                                 huggingface_convert.py:193-206)
+
+The q|k|v blocks are kept as an explicit axis of size 3 (FT's
+``[hidden, 3, heads, head_dim]`` layout, huggingface_convert.py:64-74) so a
+``PartitionSpec(None, None, None, "tp")`` shards each of Q, K, V by head —
+exactly the reference's TP column split.
+
+INT8 weight-only quantization (int8_mode=1) swaps each big kernel for a
+``QuantizedTensor`` (int8 payload + per-output-channel fp32 scales), the analog
+of the reference's DenseWeight{int8_kernel, weight_only_quant_scale}
+(/root/reference/src/fastertransformer/layers/DenseWeight.h).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import GptNeoXConfig
+from ..core.dtypes import jnp_dtype
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedTensor:
+    """Weight-only-quantized kernel: int8 payload + per-output-channel scales.
+
+    ``q`` keeps the logical (unquantized) kernel shape with dtype int8. ``scale``
+    has ``q``'s shape with the contraction (K) axis removed; dequantized value is
+    ``q * expand_dims(scale, k_axis)``. Per-output-channel symmetric scales —
+    the same math as the reference's
+    ``symmetric_quantize_last_axis_of_batched_matrix``
+    (/root/reference/src/fastertransformer/th_op/common/WeightOnlyQuantOps.cc:140-233)
+    minus the CUTLASS layout interleaving, which has no TPU analog.
+    """
+
+    q: jax.Array  # int8, logical kernel shape
+    scale: jax.Array  # f32, q.shape with k_axis removed
+    k_axis: int = -2  # contraction axis of q, end-relative (static / aux data)
+
+    def tree_flatten(self):
+        return (self.q, self.scale), self.k_axis
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        q, scale = children
+        return cls(q=q, scale=scale, k_axis=aux)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    def dequantize(self, dtype=jnp.float32):
+        k_axis = self.k_axis % self.q.ndim
+        scale = jnp.expand_dims(self.scale, k_axis).astype(jnp.float32)
+        return (self.q.astype(jnp.float32) * scale).astype(dtype)
+
+    def __getitem__(self, idx):
+        """Index the leading (layer) axis, keeping payload+scale consistent.
+
+        ``k_axis`` is stored end-relative (negative) so it stays valid when the
+        leading layer axis is peeled off (here and by lax.scan slicing).
+        """
+        assert self.k_axis < 0, "k_axis must be end-relative (negative)"
+        return QuantizedTensor(q=self.q[idx], scale=self.scale[idx], k_axis=self.k_axis)
+
+
+Params = Dict[str, Any]
+
+
+def init_params(
+    config: GptNeoXConfig,
+    rng: Optional[jax.Array] = None,
+    dtype: Any = jnp.float32,
+    std: float = 0.02,
+    int8_mode: int = 0,
+) -> Params:
+    """Random-init a full parameter pytree (tests / benchmarks).
+
+    With int8_mode=1 the four big per-layer kernels are created directly as
+    QuantizedTensors (random int8 + small scales), mirroring the reference's
+    pre-quantized checkpoint path (enable_int8_weights,
+    codefuse_example.py:407-418).
+    """
+    dtype = jnp_dtype(dtype)
+    L = config.layer_num
+    H = config.hidden_size
+    nH = config.head_num
+    dh = config.size_per_head
+    I = config.inter_size
+    V = config.vocab_size
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    keys = iter(jax.random.split(rng, 16))
+
+    def dense(key, shape):
+        return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
+
+    def maybe_quant(key, shape, k_axis):
+        if int8_mode == 1:
+            qkey, skey = jax.random.split(key)
+            q = jax.random.randint(qkey, shape, -127, 128, jnp.int8)
+            scale_shape = tuple(s for i, s in enumerate(shape) if i != k_axis % len(shape))
+            scale = (
+                jax.random.uniform(skey, scale_shape, jnp.float32, 0.5, 1.5) * std / 127.0
+            )
+            return QuantizedTensor(q=q, scale=scale, k_axis=k_axis)
+        return dense(key, shape)
+
+    layers = {
+        "ln1_w": jnp.ones((L, H), dtype),
+        "ln1_b": jnp.zeros((L, H), dtype),
+        "qkv_w": maybe_quant(next(keys), (L, H, 3, nH * dh), k_axis=-3),
+        "qkv_b": jnp.zeros((L, 3, nH * dh), dtype),
+        "proj_w": maybe_quant(next(keys), (L, nH * dh, H), k_axis=-2),
+        "ln2_w": jnp.ones((L, H), dtype),
+        "ln2_b": jnp.zeros((L, H), dtype),
+        "up_w": maybe_quant(next(keys), (L, H, I), k_axis=-2),
+        "up_b": jnp.zeros((L, I), dtype),
+        "down_w": maybe_quant(next(keys), (L, I, H), k_axis=-2),
+        "down_b": jnp.zeros((L, H), dtype),
+    }
+    if not config.use_gptj_residual:
+        layers["proj_b"] = jnp.zeros((L, H), dtype)
+
+    return {
+        "embed": dense(next(keys), (V, H)),
+        "layers": layers,
+        "final_ln_w": jnp.ones((H,), dtype),
+        "final_ln_b": jnp.zeros((H,), dtype),
+        "lm_head": dense(next(keys), (H, V)),
+    }
+
+
+def cast_params(params: Params, dtype) -> Params:
+    """Cast all float parameters to ``dtype`` (QuantizedTensor payloads stay int8)."""
+    dtype = jnp_dtype(dtype)
+
+    def cast(x):
+        if isinstance(x, QuantizedTensor):
+            return x
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(cast, params, is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
+def param_bytes(params: Params) -> int:
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(x.size * x.dtype.itemsize for x in leaves)

@@ -1,0 +1,86 @@
+"""Reference (pure-XLA) attention paths: prefill and single-token decode.
+
+These replace, respectively:
+  - the reference's TRT fused flash MHA / unfused bmm+softmax prefill path
+    (/root/reference/src/fastertransformer/layers/attention_layers/
+     GptContextAttentionLayer.cc:195-310), and
+  - the fused masked multi-head decode kernel
+    (/root/reference/src/fastertransformer/kernels/
+     decoder_masked_multihead_attention.cu).
+
+They are the numerically-canonical implementations; the Pallas flash kernels in
+``flash_prefill.py`` / ``flash_decode.py`` must match them. Softmax statistics
+in fp32, scores masked with a large negative value (not -inf, to avoid NaN on
+fully-masked rows).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def prefill_attention(
+    q: jax.Array,  # [B, S, nH, dh]
+    k: jax.Array,  # [B, S, nH, dh]
+    v: jax.Array,  # [B, S, nH, dh]
+    mask: jax.Array,  # [B, S, S] bool, True = may attend (causal & padding)
+    sm_scale: float,
+) -> jax.Array:
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    scores = scores * sm_scale
+    scores = jnp.where(mask[:, None, :, :], scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+def decode_attention(
+    q: jax.Array,  # [B, nH, dh] — one new token per sequence
+    k_cache: jax.Array,  # [B, nH, S, dh]
+    v_cache: jax.Array,  # [B, nH, S, dh]
+    valid: jax.Array,  # [B, S] bool, True = cache slot participates
+    sm_scale: float,
+) -> jax.Array:
+    scores = jnp.einsum(
+        "bhd,bhsd->bhs", q, k_cache, preferred_element_type=jnp.float32
+    )
+    scores = scores * sm_scale
+    scores = jnp.where(valid[:, None, :], scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhs,bhsd->bhd", probs.astype(v_cache.dtype), v_cache,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def make_prefill_mask(input_lengths: jax.Array, seq_len: int) -> jax.Array:
+    """Causal & right-padding mask, the analog of invokeBuildDecoderAttentionMask
+    (/root/reference/src/fastertransformer/kernels/gpt_kernels.cu).
+
+    Token i may attend token j iff j <= i and j < input_length.
+    Returns [B, S, S] bool.
+    """
+    pos = jnp.arange(seq_len)
+    causal = pos[None, :, None] >= pos[None, None, :]  # [1, S, S]
+    in_len = pos[None, None, :] < input_lengths[:, None, None]  # [B, 1, S]
+    return jnp.logical_and(causal, in_len)
+
+
+def make_decode_valid(positions: jax.Array, cache_len: int) -> jax.Array:
+    """Valid-slot mask for decode: slot j participates iff j <= position[b].
+
+    Unlike the reference, which right-pads ragged batches and carries dead cache
+    slots masked via ``masked_tokens`` (GptNeoX.cc decode loop), this engine
+    packs each sequence contiguously (new token b goes to slot positions[b]), so
+    validity is a single comparison. Returns [B, cache_len] bool; the new
+    token's own slot is valid because its K/V are written before attention.
+    """
+    pos = jnp.arange(cache_len)[None, :]
+    return pos <= positions[:, None]

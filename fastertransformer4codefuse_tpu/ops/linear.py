@@ -1,0 +1,97 @@
+"""Linear / matmul with optional weight-only int8 dequantization.
+
+TPU-native analog of the reference's GEMM dispatch: cuBLAS for dense
+(/root/reference/src/fastertransformer/utils/cublasMMWrapper.cc) and the CUTLASS
+fpA-intB mixed GEMM for int8 weight-only
+(/root/reference/src/fastertransformer/kernels/cutlass_kernels/fpA_intB_gemm/).
+
+On TPU the dense path is a plain ``jnp.dot`` (XLA tiles it onto the MXU and
+fuses the bias/activation epilogue); the int8 path multiplies the int8 payload
+converted to the activation dtype and applies the per-output-channel scale on
+the fp32 accumulator — either via a fused Pallas kernel
+(ops/quant_matmul.py) or an XLA composition fallback.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.params import QuantizedTensor
+
+# Toggled by engine setup; Pallas kernels only exist on TPU backends.
+_USE_PALLAS = False
+
+
+def set_use_pallas(flag: bool) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = bool(flag)
+
+
+def use_pallas() -> bool:
+    return _USE_PALLAS
+
+
+def _as_2d_weight(w: QuantizedTensor):
+    """Collapse a structured kernel (e.g. qkv [H, 3, N]) to 2D [K, N_total]."""
+    k_axis = w.k_axis % w.q.ndim
+    assert k_axis == 0, f"expected per-layer kernel with k_axis=0, got {k_axis}"
+    K = w.q.shape[0]
+    q2d = w.q.reshape(K, -1)
+    scale = w.scale.reshape(-1)
+    return q2d, scale
+
+
+def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
+    """int8 weight-only matmul as an XLA composition.
+
+    y = (x @ q.astype(x.dtype)) * scale  — the scale is per output channel so it
+    commutes out of the contraction; the convert feeds the MXU directly and the
+    scale multiply fuses into the matmul epilogue.
+    """
+    q2d, scale = _as_2d_weight(w)
+    out_shape = x.shape[:-1] + w.q.shape[1:]
+    x2d = x.reshape(-1, x.shape[-1])
+    acc = jnp.dot(x2d, q2d.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = acc * scale[None, :].astype(jnp.float32)
+    return y.astype(x.dtype).reshape(out_shape)
+
+
+def quantized_matmul(x: jax.Array, w: QuantizedTensor) -> jax.Array:
+    if _USE_PALLAS:
+        from .quant_matmul import quant_matmul_pallas
+
+        q2d, scale = _as_2d_weight(w)
+        out_shape = x.shape[:-1] + w.q.shape[1:]
+        x2d = x.reshape(-1, x.shape[-1])
+        y = quant_matmul_pallas(x2d, q2d, scale, out_dtype=x.dtype)
+        return y.reshape(out_shape)
+    return quantized_matmul_xla(x, w)
+
+
+def linear(
+    x: jax.Array,
+    w,
+    b: Optional[jax.Array] = None,
+    out_dtype=None,
+) -> jax.Array:
+    """``y = x @ w + b`` with QuantizedTensor dispatch.
+
+    ``w`` may be a plain array ``[K, ...out]`` or a QuantizedTensor of the same
+    logical shape. ``x``'s last axis contracts with ``w``'s first axis; extra
+    trailing weight axes (the qkv [3, N] structure) become output axes.
+    """
+    if isinstance(w, QuantizedTensor):
+        y = quantized_matmul(x, w)
+    else:
+        out_shape = x.shape[:-1] + w.shape[1:]
+        x2d = x.reshape(-1, x.shape[-1])
+        w2d = w.reshape(w.shape[0], -1)
+        y = jnp.dot(x2d, w2d, preferred_element_type=jnp.float32)
+        y = y.astype(x.dtype).reshape(out_shape)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    if out_dtype is not None:
+        y = y.astype(out_dtype)
+    return y

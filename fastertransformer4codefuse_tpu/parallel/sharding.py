@@ -1,0 +1,112 @@
+"""GSPMD sharding rules: the TPU-native replacement for the reference's NCCL
+tensor parallelism (SURVEY §2.4).
+
+The reference column-splits QKV/FFN-up and row-splits proj/FFN-down per rank
+(huggingface_convert.py:44-74) and all-reduces once per layer under the
+parallel residual (GptNeoXDecoder.cc:342-360). Here the same math is expressed
+as PartitionSpecs over a ("dp", "tp") mesh; XLA's SPMD partitioner inserts the
+single per-layer psum automatically because attn_out and ffn_out are both
+partial sums over "tp".
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import GptNeoXConfig
+from ..models.params import Params, QuantizedTensor
+
+
+def build_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
+    """Device mesh with ("dp", "tp") axes. TP rides the fastest (innermost)
+    axis so its collectives map to nearest-neighbor ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= tp * dp, f"need {tp * dp} devices, have {len(devices)}"
+    arr = np.array(devices[: tp * dp]).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+# PartitionSpecs for the stacked layer weights [L, ...]
+LAYER_SPECS = {
+    "ln1_w": P(),
+    "ln1_b": P(),
+    "qkv_w": P(None, None, None, "tp"),  # [L, H, 3, nH*dh] — split heads
+    "qkv_b": P(None, None, "tp"),
+    "proj_w": P(None, "tp", None),  # [L, nH*dh, H] — row split
+    "proj_b": P(),
+    "ln2_w": P(),
+    "ln2_b": P(),
+    "up_w": P(None, None, "tp"),  # [L, H, I]
+    "up_b": P(None, "tp"),
+    "down_w": P(None, "tp", None),  # [L, I, H]
+    "down_b": P(),
+}
+
+TOP_SPECS = {
+    "embed": P(),  # replicated (gather-heavy; small vs layer weights)
+    "final_ln_w": P(),
+    "final_ln_b": P(),
+    "lm_head": P(None, "tp"),  # vocab-split, like the reference's TP lm head
+}
+
+
+def _spec_for_quant(spec: P, k_axis: int, ndim: int) -> P:
+    """Scale spec = weight spec minus the contraction axis."""
+    axes = list(spec) + [None] * (ndim - len(spec))
+    del axes[k_axis % ndim]
+    return P(*axes)
+
+
+def param_shardings(config: GptNeoXConfig, params: Params, mesh: Mesh):
+    """Build a NamedSharding pytree matching ``params``' structure."""
+
+    def leaf(spec, value):
+        if isinstance(value, QuantizedTensor):
+            return QuantizedTensor(
+                q=NamedSharding(mesh, spec),
+                scale=NamedSharding(
+                    mesh, _spec_for_quant(spec, value.k_axis, value.q.ndim)
+                ),
+                k_axis=value.k_axis,
+            )
+        return NamedSharding(mesh, spec)
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {n: leaf(LAYER_SPECS[n], val) for n, val in v.items()}
+        else:
+            out[k] = leaf(TOP_SPECS[k], v)
+    return out
+
+
+def shard_params(config: GptNeoXConfig, params: Params, mesh: Mesh) -> Params:
+    shardings = param_shardings(config, params, mesh)
+
+    def place(x, s):
+        if isinstance(x, QuantizedTensor):
+            return QuantizedTensor(
+                q=jax.device_put(x.q, s.q),
+                scale=jax.device_put(x.scale, s.scale),
+                k_axis=x.k_axis,
+            )
+        return jax.device_put(x, s)
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {
+                n: place(val, shardings[k][n]) for n, val in v.items()
+            }
+        else:
+            out[k] = place(v, shardings[k])
+    return out
+
+
+def cache_sharding(mesh: Mesh) -> NamedSharding:
+    """KV cache [L, B, nH, S, dh]: batch on dp, heads on tp."""
+    return NamedSharding(mesh, P(None, "dp", "tp", None, None))
