@@ -30,10 +30,13 @@ from ..models.params import Params, QuantizedTensor
 
 
 def _rank_files(ckpt: str, base: str) -> list:
-    files = sorted(
-        glob.glob(os.path.join(ckpt, base + ".*.bin")),
-        key=lambda p: int(re.search(r"\.(\d+)\.bin$", p).group(1)),
-    )
+    # only plain rank files: "<base>.<rank>.bin" (exclude .q.bin/.s.bin)
+    cands = [
+        p
+        for p in glob.glob(os.path.join(ckpt, base + ".*.bin"))
+        if re.search(r"\.(\d+)\.bin$", p)
+    ]
+    files = sorted(cands, key=lambda p: int(re.search(r"\.(\d+)\.bin$", p).group(1)))
     if not files:
         raise FileNotFoundError(f"no files matching {base}.*.bin in {ckpt}")
     return files
@@ -113,14 +116,74 @@ def load_bin_checkpoint(
         )
 
     if int8_mode == 1:
-        def qread(i, base, rank_shape, axis, scale_rank_shape):
-            q = read_split(f"model.layers.{i}.{base}.weight", rank_shape, axis, dt=np.int8)
-            s = read_split(f"model.layers.{i}.{base}.weight", scale_rank_shape, axis=-1, dt=wdt)
-            return q, s
+        from ..models.params import QuantizedTensor
+        from .quantize import quantize_array
 
-        raise NotImplementedError(
-            "direct int8 .bin loading lands with ckpt.quantize; "
-            "load fp and quantize with quant.quantize_params for now"
+        def _q_rank_files(base, suffix):
+            files = sorted(
+                glob.glob(os.path.join(ckpt_path, f"{base}.*.{suffix}.bin")),
+                key=lambda p: int(re.search(rf"\.(\d+)\.{suffix}\.bin$", p).group(1)),
+            )
+            if not files:
+                raise FileNotFoundError(f"no {base}.*.{suffix}.bin in {ckpt_path}")
+            return files
+
+        def load_quant(base_fmt, rank_q_shape, rank_s_shape, axis, s_axis, k_axis, final_shape, final_s_shape):
+            """Load .q.bin/.s.bin per layer. For TP=1 the payload is used
+            directly; for TP>1 row-split (axis-0) kernels each rank has its own
+            per-output scales, so ranks are dequantized and requantized whole
+            (the reference instead keeps per-rank scales on per-rank GPUs)."""
+            qs, ss = [], []
+            for i in range(L):
+                base = base_fmt.format(i)
+                qparts = [
+                    np.fromfile(p, dtype=np.int8).reshape(rank_q_shape)
+                    for p in _q_rank_files(base, "q")
+                ]
+                sparts = [
+                    np.fromfile(p, dtype=wdt).reshape(rank_s_shape)
+                    for p in _q_rank_files(base, "s")
+                ]
+                if tp == 1 or axis != 0:
+                    q = np.concatenate(qparts, axis=axis).reshape(final_shape)
+                    s = np.concatenate(sparts, axis=s_axis).reshape(final_s_shape)
+                else:
+                    deq = np.concatenate(
+                        [
+                            qp.astype(np.float32) * sp[None, :].astype(np.float32)
+                            for qp, sp in zip(qparts, sparts)
+                        ],
+                        axis=0,
+                    )
+                    qt = quantize_array(jnp.asarray(deq.reshape(final_shape)), k_axis)
+                    q, s = np.asarray(qt.q), np.asarray(qt.scale)
+                qs.append(q)
+                ss.append(s)
+            return QuantizedTensor(
+                q=jnp.asarray(np.stack(qs)),
+                scale=jnp.asarray(np.stack(ss), jnp.float32),
+                k_axis=k_axis,
+            )
+
+        layers["qkv_w"] = load_quant(
+            "model.layers.{}.attention.query_key_value.weight",
+            (H, 3, lh), (3, lh), axis=-1, s_axis=-1, k_axis=-3,
+            final_shape=(H, 3, nH * dh), final_s_shape=(3, nH * dh),
+        )
+        layers["proj_w"] = load_quant(
+            "model.layers.{}.attention.dense.weight",
+            (lh, H), (H,), axis=0, s_axis=None, k_axis=-2,
+            final_shape=(nH * dh, H), final_s_shape=(H,),
+        )
+        layers["up_w"] = load_quant(
+            "model.layers.{}.mlp.dense_h_to_4h.weight",
+            (H, li), (li,), axis=-1, s_axis=-1, k_axis=-2,
+            final_shape=(H, I), final_s_shape=(I,),
+        )
+        layers["down_w"] = load_quant(
+            "model.layers.{}.mlp.dense_4h_to_h.weight",
+            (li, H), (H,), axis=0, s_axis=None, k_axis=-2,
+            final_shape=(I, H), final_s_shape=(H,),
         )
     else:
         layers["qkv_w"] = stack(

@@ -1,0 +1,116 @@
+"""Offline INT8 weight-only quantization.
+
+Rebuilds the reference's quantizer stack:
+  - math: per-output-channel symmetric scales over the last axis, identical to
+    ``symmetric_quantize_last_axis_of_batched_matrix``
+    (/root/reference/src/fastertransformer/th_op/common/WeightOnlyQuantOps.cc:140-233)
+  - offline tool: quantize the 4 GEMM kernels per layer and write ``.q.bin`` +
+    ``.s.bin`` next to the fp checkpoint, like
+    /root/reference/examples/pytorch/codefuse/quant_and_save.py:12-99.
+
+Layout difference (deliberate): the reference preprocesses the int8 payload
+into a CUTLASS tensor-core interleaved layout (permute rows for LDSM, subbyte
+transpose, add_bias_and_interleave — cutlass_preprocessors.cc). TPU kernels
+read plain row-major [K, N]; the "preprocessing" a TPU wants is just tiling
+alignment, which the Pallas kernel handles at run time. ``.q.bin`` files here
+are therefore plain row-major and NOT interchangeable with the reference's.
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import GptNeoXConfig
+from ..models.params import Params, QuantizedTensor
+
+
+def quantize_array(w: jax.Array, k_axis: int = -2) -> QuantizedTensor:
+    """Symmetric per-output-channel int8 quantization.
+
+    ``scale[n] = max_k |w[k, n]| / 127``; ``q = round(w / scale)``. Zero columns
+    get scale 1 to avoid division by zero (the reference clamps the same way).
+    """
+    w32 = jnp.asarray(w, jnp.float32)
+    k_ax = k_axis % w32.ndim
+    amax = jnp.max(jnp.abs(w32), axis=k_ax)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.round(w32 / jnp.expand_dims(scale, k_ax))
+    q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    # store k_axis end-relative so lax.scan layer-slicing stays consistent
+    k_axis_rel = k_ax - w32.ndim
+    return QuantizedTensor(q=q, scale=scale, k_axis=k_axis_rel)
+
+
+_QUANT_KEYS = ("qkv_w", "proj_w", "up_w", "down_w")
+
+
+def quantize_params(params: Params) -> Params:
+    """Quantize the four big per-layer kernels (embeddings and lm head stay in
+    the float dtype, exactly the reference's coverage —
+    codefuse_example.py:273-285)."""
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        w = layers[k]
+        if isinstance(w, QuantizedTensor):
+            continue
+        k_axis = -3 if k == "qkv_w" else -2
+        layers[k] = quantize_array(w, k_axis)
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def quantization_error(w: jax.Array, k_axis: int = -2) -> float:
+    """Max abs reconstruction error (diagnostics / tests)."""
+    qt = quantize_array(w, k_axis)
+    return float(jnp.max(jnp.abs(qt.dequantize(jnp.float32) - jnp.asarray(w, jnp.float32))))
+
+
+# --------------------------------------------------------------------------- #
+# Offline tool: fp .bin dir -> .q.bin/.s.bin (quant_and_save.py analog)
+# --------------------------------------------------------------------------- #
+
+def quant_and_save(
+    ckpt_path: str,
+    config: Optional[GptNeoXConfig] = None,
+    weight_names: Iterable[str] = (
+        "attention.query_key_value.weight",
+        "attention.dense.weight",
+        "mlp.dense_h_to_4h.weight",
+        "mlp.dense_4h_to_h.weight",
+    ),
+) -> None:
+    """For every per-layer / per-rank fp kernel file write ``<name>.q.bin``
+    (plain row-major int8) and ``<name>.s.bin`` (per-output-channel scales in
+    the checkpoint's weight dtype)."""
+    if config is None:
+        config = GptNeoXConfig.from_ini(ckpt_path)
+    wdt = np.float16 if config.weight_data_type == "fp16" else np.float32
+    H = config.hidden_size
+
+    import glob as _glob
+
+    for i in range(config.layer_num):
+        for name in weight_names:
+            for path in sorted(
+                _glob.glob(os.path.join(ckpt_path, f"model.layers.{i}.{name}.*.bin"))
+            ):
+                if path.endswith(".q.bin") or path.endswith(".s.bin"):
+                    continue
+                flat = np.fromfile(path, dtype=wdt)
+                # every kernel layout here is [K, rest...]; per-output-channel
+                # scale = over all-but-K, so reshape to [K, -1]
+                k_dim = {
+                    "attention.query_key_value.weight": H,
+                    "attention.dense.weight": flat.size // H,
+                    "mlp.dense_h_to_4h.weight": H,
+                    "mlp.dense_4h_to_h.weight": flat.size // H,
+                }[name]
+                w = flat.reshape(k_dim, -1)
+                qt = quantize_array(jnp.asarray(w), k_axis=-2)
+                np.asarray(qt.q).tofile(path[:-4] + ".q.bin")
+                np.asarray(qt.scale).astype(wdt).tofile(path[:-4] + ".s.bin")
