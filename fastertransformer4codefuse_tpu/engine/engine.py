@@ -396,7 +396,8 @@ class GptNeoXEngine:
         output_len: int,
         beam_width: int = 1,
         callback: Optional[Callable[[dict], None]] = None,
-        return_dict: bool = False,
+        beam_search_diversity_rate=None,  # beam-only; ignored for sampling (FT does too)
+        len_penalty=None,  # beam-only
         **sampling_kwargs,
     ) -> GenerationOutput:
         """Batched generation. With ``callback`` set, streams each step's newest
@@ -408,6 +409,8 @@ class GptNeoXEngine:
 
             return beam_search_generate(
                 self, input_ids, output_len, beam_width, callback=callback,
+                beam_search_diversity_rate=beam_search_diversity_rate,
+                len_penalty=len_penalty,
                 **sampling_kwargs,
             )
         st, inputs = self._prepare(input_ids, output_len, **sampling_kwargs)
