@@ -1,25 +1,31 @@
 """Benchmark harness — prints ONE JSON line.
 
 Headline metric (BASELINE.json): CodeFuse-13B INT8 weight-only decoding,
-batch 1, greedy, tokens/sec on one chip. The reference's per-chip-normalized
-best is 49 tok/s (98 tok/s on 2xA100 int8 TP2, README.md:95-99); that is the
-``vs_baseline`` denominator.
+batch 1, greedy, tokens/sec on one chip, at the reference's own measurement
+points (README.md:62-99). ``vs_baseline`` divides by the reference's best
+PER-CHIP tokens/sec at the same sequence config:
 
-Falls back to shorter sequences / reduced depth if the single chip's HBM can't
-hold the full working set, and says so in the metric name.
+  1024in/512out: 512 tok / 7.054 s = 72.6 tok/s   (1xA100 int8, README.md:86-92)
+  64in/32out:    32 tok / 0.369 s  = 86.7 tok/s   (1xA100 int8, README.md:70-76)
+
+Note the hardware asymmetry: one A100 has 2.0 TB/s of HBM bandwidth vs a
+v5e chip's 0.82 TB/s, and weight streaming is the whole game at batch 1 —
+per-chip parity on this metric means a ~2.4x architectural win.
+
+Single-chip 13B needs int8 embeddings + lm head as well (int8_mode=2, 13.6GB)
+and an int8 KV cache for the 1536-token run; the reference never faces this
+because A100s carry 80GB.
 """
 import json
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-BASELINE_TOKS_PER_CHIP = 49.0  # 98 tok/s / 2 GPUs, reference README.md:95-99
 
+def build(int8_mode, kv_dtype, seq_bucket):
+    import jax
 
-def build(cfg_name, layer_num, int8):
     from fastertransformer4codefuse_tpu import (
         GptNeoXConfig,
         GptNeoXEngine,
@@ -27,13 +33,18 @@ def build(cfg_name, layer_num, int8):
         init_params,
     )
 
-    base = GptNeoXConfig.codefuse_13b()
-    cfg = GptNeoXConfig(**{**base.__dict__, "layer_num": layer_num})
-    params = init_params(cfg, dtype="bf16", int8_mode=1 if int8 else 0)
+    cfg = GptNeoXConfig.codefuse_13b()
+    params = init_params(cfg, dtype="bf16", int8_mode=int8_mode)
+    jax.block_until_ready(params)
     eng = GptNeoXEngine(
         cfg,
         params,
-        RuntimeConfig(dtype="bf16", int8_mode=1 if int8 else 0, seq_bucket=128),
+        RuntimeConfig(
+            dtype="bf16",
+            int8_mode=int8_mode,
+            kv_cache_dtype=kv_dtype,
+            seq_bucket=seq_bucket,
+        ),
     )
     return cfg, eng
 
@@ -44,37 +55,30 @@ def run_once(eng, in_len, out_len, rng):
     out = eng.generate(ids, output_len=out_len, top_k=1, min_length=out_len)
     dt = time.perf_counter() - t0
     gen = int(out.sequence_lengths[0, 0]) - in_len
-    return dt, gen
+    assert gen == out_len, f"generated {gen} != {out_len}"
+    return dt
 
 
 def main():
     rng = np.random.default_rng(0)
-    full_layers = 40
     attempts = [
-        ("codefuse13b-int8-1024in-512out", full_layers, True, 1024, 512, 1.0),
-        ("codefuse13b-int8-64in-32out", full_layers, True, 64, 32, 1.0),
-        # depth-reduced fallback: scale tok/s by layer fraction for a
-        # conservative full-model estimate
-        ("codefuse13b-int8-20L-64in-32out-scaled", 20, True, 64, 32, 20 / 40),
+        # (name, int8_mode, kv_dtype, in, out, per-chip reference tok/s)
+        ("codefuse13b-int8-1024in-512out", 2, "int8", 1024, 512, 72.6),
+        ("codefuse13b-int8-64in-32out", 2, None, 64, 32, 86.7),
     ]
-    for name, layers, int8, in_len, out_len, scale in attempts:
+    for name, mode, kv, in_len, out_len, ref in attempts:
         try:
-            cfg, eng = build(name, layers, int8)
-            run_once(eng, in_len, out_len, rng)  # warmup + compile
-            times = []
-            for _ in range(3):
-                dt, gen = run_once(eng, in_len, out_len, rng)
-                times.append((dt, gen))
-            dt = min(t for t, _ in times)
-            gen = times[0][1]
-            toks = gen / dt * scale
+            cfg, eng = build(mode, kv, 128 if in_len >= 128 else 64)
+            run_once(eng, in_len, out_len, rng)  # compile + warm
+            dt = min(run_once(eng, in_len, out_len, rng) for _ in range(3))
+            toks = out_len / dt
             print(
                 json.dumps(
                     {
                         "metric": f"tokens_per_sec_per_chip:{name}",
                         "value": round(toks, 2),
                         "unit": "tok/s",
-                        "vs_baseline": round(toks / BASELINE_TOKS_PER_CHIP, 3),
+                        "vs_baseline": round(toks / ref, 3),
                     }
                 )
             )

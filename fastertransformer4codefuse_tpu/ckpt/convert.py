@@ -11,7 +11,10 @@ Rebuilds the reference's offline converter
     the reference engine can be loaded directly and vice versa.
 
 The QKV layout gotcha (huggingface_convert.py:64-74): HF stores the fused QKV
-out-dim as [heads, 3, head_dim]; the engine (like FT) wants [3, heads, head_dim].
+out-dim as [heads, 3, head_dim]. The engine keeps that ordering (heads-major is
+already TP-shardable by flat chunking), so the in-memory path needs only a
+transpose; the FT reorder to [3, heads, head_dim] happens solely when writing
+the reference's on-disk .bin format.
 """
 from __future__ import annotations
 
@@ -96,14 +99,9 @@ def params_from_hf_state_dict(
     layers = {
         "ln1_w": stack(pre + "input_layernorm.weight"),
         "ln1_b": stack(pre + "input_layernorm.bias"),
-        "qkv_w": stack(
-            pre + "attention.query_key_value.weight",
-            lambda w: _reorder_qkv_weight(w, nH),
-        ),
-        "qkv_b": stack(
-            pre + "attention.query_key_value.bias",
-            lambda b: _reorder_qkv_bias(b, nH),
-        ),
+        # engine keeps HF's (head, qkv, dh) fused ordering: transpose only
+        "qkv_w": stack(pre + "attention.query_key_value.weight", lambda w: w.T),
+        "qkv_b": stack(pre + "attention.query_key_value.bias"),
         "proj_w": stack(pre + "attention.dense.weight", lambda w: w.T),
         "ln2_w": stack(pre + "post_attention_layernorm.weight"),
         "ln2_b": stack(pre + "post_attention_layernorm.bias"),
@@ -133,7 +131,7 @@ def params_from_hf_state_dict(
         "layers": layers,
         "final_ln_w": jnp.asarray(get("gpt_neox.final_layer_norm.weight"), dtype),
         "final_ln_b": jnp.asarray(get("gpt_neox.final_layer_norm.bias"), dtype),
-        "lm_head": jnp.asarray(get("embed_out.weight").T, dtype),
+        "lm_head": jnp.asarray(get("embed_out.weight"), dtype),  # [V, H]
     }
 
 

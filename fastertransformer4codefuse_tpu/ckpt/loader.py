@@ -24,6 +24,16 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+
+def _ft_qkv_to_engine(w: np.ndarray, nH: int) -> np.ndarray:
+    """FT on-disk fused-QKV ordering [..., 3, nH*dh] -> engine/HF ordering
+    [..., nH*3*dh] with (head, qkv, dh) flat layout."""
+    lead = w.shape[:-2]
+    dh = w.shape[-1] // nH
+    w = w.reshape(*lead, 3, nH, dh)
+    order = tuple(range(len(lead))) + (len(lead) + 1, len(lead), len(lead) + 2)
+    return np.transpose(w, order).reshape(*lead, 3 * nH * dh)
+
 from ..core.config import GptNeoXConfig
 from ..core.dtypes import jnp_dtype
 from ..models.params import Params, QuantizedTensor
@@ -92,8 +102,11 @@ def load_bin_checkpoint(
         "ln1_w": stack(lambda i: read(f"model.layers.{i}.input_layernorm.weight.bin", (H,))),
         "ln1_b": stack(lambda i: read(f"model.layers.{i}.input_layernorm.bias.bin", (H,))),
         "qkv_b": stack(
-            lambda i: read_split(
-                f"model.layers.{i}.attention.query_key_value.bias", (3, lh), axis=-1
+            lambda i: _ft_qkv_to_engine(
+                read_split(
+                    f"model.layers.{i}.attention.query_key_value.bias", (3, lh), axis=-1
+                ),
+                nH,
             )
         ),
         "ln2_w": stack(lambda i: read(f"model.layers.{i}.post_attention_layernorm.weight.bin", (H,))),
@@ -128,7 +141,7 @@ def load_bin_checkpoint(
                 raise FileNotFoundError(f"no {base}.*.{suffix}.bin in {ckpt_path}")
             return files
 
-        def load_quant(base_fmt, rank_q_shape, rank_s_shape, axis, s_axis, k_axis, final_shape, final_s_shape):
+        def load_quant(base_fmt, rank_q_shape, rank_s_shape, axis, s_axis, k_axis, final_shape, final_s_shape, reorder=None):
             """Load .q.bin/.s.bin per layer. For TP=1 the payload is used
             directly; for TP>1 row-split (axis-0) kernels each rank has its own
             per-output scales, so ranks are dequantized and requantized whole
@@ -145,8 +158,12 @@ def load_bin_checkpoint(
                     for p in _q_rank_files(base, "s")
                 ]
                 if tp == 1 or axis != 0:
-                    q = np.concatenate(qparts, axis=axis).reshape(final_shape)
-                    s = np.concatenate(sparts, axis=s_axis).reshape(final_s_shape)
+                    q = np.concatenate(qparts, axis=axis)
+                    s = np.concatenate(sparts, axis=s_axis)
+                    if reorder is not None:
+                        q, s = reorder(q), reorder(s)
+                    q = q.reshape(final_shape)
+                    s = s.reshape(final_s_shape)
                 else:
                     deq = np.concatenate(
                         [
@@ -167,8 +184,9 @@ def load_bin_checkpoint(
 
         layers["qkv_w"] = load_quant(
             "model.layers.{}.attention.query_key_value.weight",
-            (H, 3, lh), (3, lh), axis=-1, s_axis=-1, k_axis=-3,
-            final_shape=(H, 3, nH * dh), final_s_shape=(3, nH * dh),
+            (H, 3, lh), (3, lh), axis=-1, s_axis=-1, k_axis=-2,
+            final_shape=(H, 3 * nH * dh), final_s_shape=(3 * nH * dh,),
+            reorder=lambda a: _ft_qkv_to_engine(a, nH),
         )
         layers["proj_w"] = load_quant(
             "model.layers.{}.attention.dense.weight",
@@ -187,10 +205,13 @@ def load_bin_checkpoint(
         )
     else:
         layers["qkv_w"] = stack(
-            lambda i: read_split(
-                f"model.layers.{i}.attention.query_key_value.weight",
-                (H, 3, lh),
-                axis=-1,
+            lambda i: _ft_qkv_to_engine(
+                read_split(
+                    f"model.layers.{i}.attention.query_key_value.weight",
+                    (H, 3, lh),
+                    axis=-1,
+                ),
+                nH,
             )
         )
         layers["proj_w"] = stack(
@@ -214,7 +235,7 @@ def load_bin_checkpoint(
         "layers": layers,
         "final_ln_w": jnp.asarray(read("model.final_layernorm.weight.bin", (H,)), dtype),
         "final_ln_b": jnp.asarray(read("model.final_layernorm.bias.bin", (H,)), dtype),
-        "lm_head": jnp.asarray(read("model.lm_head.weight.bin", (V, H)).T.copy(), dtype),
+        "lm_head": jnp.asarray(read("model.lm_head.weight.bin", (V, H)), dtype),
     }
     pool.shutdown()
     return config, params

@@ -48,19 +48,32 @@ def quantize_array(w: jax.Array, k_axis: int = -2) -> QuantizedTensor:
 _QUANT_KEYS = ("qkv_w", "proj_w", "up_w", "down_w")
 
 
-def quantize_params(params: Params) -> Params:
+def quantize_params(params: Params, include_embeddings: bool = False) -> Params:
     """Quantize the four big per-layer kernels (embeddings and lm head stay in
-    the float dtype, exactly the reference's coverage —
-    codefuse_example.py:273-285)."""
+    the float dtype by default, exactly the reference's coverage —
+    codefuse_example.py:273-285).
+
+    ``include_embeddings=True`` additionally quantizes the token embedding
+    (per-feature scales, dequantized after the gather) and the LM head
+    (per-vocab-row scales applied on the fp32 logits) — needed to fit
+    CodeFuse-13B on a single 16GB chip; the reference never faces this because
+    A100s have 80GB.
+    """
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
         w = layers[k]
         if isinstance(w, QuantizedTensor):
             continue
-        k_axis = -3 if k == "qkv_w" else -2
-        layers[k] = quantize_array(w, k_axis)
+        layers[k] = quantize_array(w, k_axis=-2)
     out = dict(params)
     out["layers"] = layers
+    if include_embeddings:
+        # per-vocab-row scales: token vector norms vary far more than feature
+        # norms, and the row scale follows the gather / applies to the logit
+        if not isinstance(out["embed"], QuantizedTensor):
+            out["embed"] = quantize_array(out["embed"], k_axis=-1)  # scale [V]
+        if not isinstance(out["lm_head"], QuantizedTensor):
+            out["lm_head"] = quantize_array(out["lm_head"], k_axis=-1)  # scale [V]
     return out
 
 

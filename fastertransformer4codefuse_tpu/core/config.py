@@ -168,7 +168,10 @@ class RuntimeConfig:
       max_batch_size / max_seq_len: static upper bounds used to pre-allocate.
       seq_bucket: generation shapes are padded up to a multiple of this to bound
         the number of distinct compiled programs.
-      use_pallas: enable Pallas kernels on TPU (falls back to jnp elsewhere).
+      use_pallas: route int8 matmuls through the Pallas fused dequant kernel.
+        Default False: XLA's own int8->bf16 convert-into-dot composition
+        currently beats the hand kernel end-to-end on v5e (48 vs 28 tok/s on
+        13B); the kernel remains available for tuning.
       tensor_para_size: TP degree (mesh axis "tp").
       data_para_size: replica axis (mesh axis "dp").
       logits_dtype: lm-head GEMM output dtype; the reference computes fp32 logits
@@ -181,7 +184,7 @@ class RuntimeConfig:
     max_batch_size: int = 8
     max_seq_len: int = 2048
     seq_bucket: int = 128
-    use_pallas: bool = True
+    use_pallas: bool = False
     tensor_para_size: int = 1
     data_para_size: int = 1
     logits_dtype: str = "fp32"

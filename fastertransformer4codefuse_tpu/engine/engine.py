@@ -48,8 +48,7 @@ class DecodeState(NamedTuple):
     cum_log_probs: jax.Array  # [B] f32
     base_keys: jax.Array  # [B] PRNG keys (per-sample seeds, FT-style)
     logits: jax.Array  # [B, V] f32 — logits for the NEXT sample
-    cache_k: jax.Array  # [L, B, nH, T, dh]
-    cache_v: jax.Array
+    cache: Any  # stacked KV cache pytree (engine.kv_cache)
     newest: jax.Array  # [B] int32 — token sampled this step (for streaming)
 
 
@@ -123,7 +122,7 @@ class GptNeoXEngine:
         name = self.runtime.kv_cache_dtype or self.runtime.dtype
         return jnp_dtype(name)
 
-    def _sample_and_advance(self, st: _Statics, inputs: Dict[str, jax.Array], s: DecodeState) -> DecodeState:
+    def _sample_and_advance(self, st: _Statics, params: Params, inputs: Dict[str, jax.Array], s: DecodeState) -> DecodeState:
         """One generation step: process logits -> sample -> criteria -> forward.
 
         Order of logit processors mirrors DynamicDecodeLayer.cc:192-497 and
@@ -190,21 +189,19 @@ class GptNeoXEngine:
         done = jnp.logical_or(gen_step >= st.output_len, jnp.all(finished))
 
         def fwd(operand):
-            tokens_, seq_lens_, ck, cv = operand
+            tokens_, seq_lens_, cache = operand
             positions = jnp.clip(seq_lens_ - 1, 0, T - 1)
             newest = tokens_[jnp.arange(B), positions]
-            hidden, (ck, cv) = model.decode_step(
-                cfg, self.params, newest, positions, (ck, cv)
-            )
-            lg = model.lm_logits(cfg, self.params, hidden)
-            return lg, ck, cv
+            hidden, cache = model.decode_step(cfg, params, newest, positions, cache)
+            lg = model.lm_logits(cfg, params, hidden)
+            return lg, cache
 
         def skip(operand):
-            _, _, ck, cv = operand
-            return s.logits, ck, cv
+            _, _, cache = operand
+            return s.logits, cache
 
-        logits_next, cache_k, cache_v = jax.lax.cond(
-            done, skip, fwd, (tokens, seq_lens, s.cache_k, s.cache_v)
+        logits_next, cache = jax.lax.cond(
+            done, skip, fwd, (tokens, seq_lens, s.cache)
         )
 
         return DecodeState(
@@ -215,12 +212,11 @@ class GptNeoXEngine:
             cum_log_probs=cum_log_probs,
             base_keys=s.base_keys,
             logits=logits_next,
-            cache_k=cache_k,
-            cache_v=cache_v,
+            cache=cache,
             newest=tok,
         )
 
-    def _prefill_state(self, st: _Statics, inputs: Dict[str, jax.Array]) -> DecodeState:
+    def _prefill_state(self, st: _Statics, params: Params, inputs: Dict[str, jax.Array]) -> DecodeState:
         cfg = self.config
         B = st.batch
         tokens = inputs["tokens"]  # [B, T] pre-filled buffer (input + end_id pad)
@@ -228,10 +224,10 @@ class GptNeoXEngine:
         cache = model.init_kv_cache(cfg, B, st.total_len, self._cache_dtype())
 
         hidden, cache = model.prefill(
-            cfg, self.params, tokens[:, : st.input_width], input_lengths, cache
+            cfg, params, tokens[:, : st.input_width], input_lengths, cache
         )
         last_h = model.last_token_hidden(hidden, input_lengths)
-        logits = model.lm_logits(cfg, self.params, last_h)
+        logits = model.lm_logits(cfg, params, last_h)
 
         base_keys = jax.vmap(jax.random.PRNGKey)(inputs["random_seed"])
         return DecodeState(
@@ -242,8 +238,7 @@ class GptNeoXEngine:
             cum_log_probs=jnp.zeros((B,), jnp.float32),
             base_keys=base_keys,
             logits=logits,
-            cache_k=cache[0],
-            cache_v=cache[1],
+            cache=cache,
             newest=jnp.full((B,), cfg.end_id, jnp.int32),
         )
 
@@ -252,8 +247,8 @@ class GptNeoXEngine:
         if st in self._generate_cache:
             return self._generate_cache[st]
 
-        def run(inputs):
-            s = self._prefill_state(st, inputs)
+        def run(params, inputs):
+            s = self._prefill_state(st, params, inputs)
 
             def cond(s):
                 return jnp.logical_and(
@@ -261,7 +256,7 @@ class GptNeoXEngine:
                 )
 
             def body(s):
-                return self._sample_and_advance(st, inputs, s)
+                return self._sample_and_advance(st, params, inputs, s)
 
             s = jax.lax.while_loop(cond, body, s)
             return s.tokens, s.seq_lens, s.cum_log_probs
@@ -273,12 +268,12 @@ class GptNeoXEngine:
     def _get_stream_fns(self, st: _Statics):
         if st not in self._prefill_cache:
             self._prefill_cache[st] = jax.jit(
-                lambda inputs: self._prefill_state(st, inputs)
+                lambda params, inputs: self._prefill_state(st, params, inputs)
             )
         if st not in self._step_cache:
             self._step_cache[st] = jax.jit(
-                lambda inputs, s: self._sample_and_advance(st, inputs, s),
-                donate_argnums=(1,),
+                lambda params, inputs, s: self._sample_and_advance(st, params, inputs, s),
+                donate_argnums=(2,),
             )
         return self._prefill_cache[st], self._step_cache[st]
 
@@ -417,13 +412,13 @@ class GptNeoXEngine:
 
         if callback is None:
             fn = self._get_generate_fn(st)
-            tokens, seq_lens, cum_lp = jax.device_get(fn(inputs))
+            tokens, seq_lens, cum_lp = jax.device_get(fn(self.params, inputs))
         else:
             prefill_fn, step_fn = self._get_stream_fns(st)
-            s = prefill_fn(inputs)
+            s = prefill_fn(self.params, inputs)
             prev_finished = np.zeros((st.batch,), bool)
             for _ in range(st.output_len):
-                s = step_fn(inputs, s)
+                s = step_fn(self.params, inputs, s)
                 newest, seq_lens_d, finished = jax.device_get(
                     (s.newest, s.seq_lens, s.finished)
                 )

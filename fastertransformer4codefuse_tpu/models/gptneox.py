@@ -36,26 +36,18 @@ from ..ops.attention import (
 from ..ops.layernorm import layernorm
 from ..ops.linear import linear
 from ..ops.rotary import apply_rotary, make_rotary_tables
+from ..engine import kv_cache as kvc
 from .params import Params, QuantizedTensor
 
-KVCache = Tuple[jax.Array, jax.Array]  # k, v: [L, B, nH, S_max, dh]
+KVCache = dict  # stacked cache pytree, see engine.kv_cache
 
 
 def init_kv_cache(
     config: GptNeoXConfig, batch: int, max_seq_len: int, dtype=jnp.bfloat16
 ) -> KVCache:
-    """Dense preallocated KV cache, the analog of the reference's
-    key_cache_/value_cache_ buffers (GptNeoX.cc:84-156). Layout
-    ``[L, B, nH, S, dh]``: contiguous [S, dh] per (batch, head) so decode reads
-    stream sequentially, and the head axis shards under TP."""
-    shape = (
-        config.layer_num,
-        batch,
-        config.head_num,
-        max_seq_len,
-        config.size_per_head,
-    )
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    """Dense preallocated KV cache ([L, B, nH, S, dh] slabs; bf16 or int8 with
+    per-vector scales) — see engine.kv_cache."""
+    return kvc.init_cache(config, batch, max_seq_len, dtype)
 
 
 def _activation(config: GptNeoXConfig, x: jax.Array) -> jax.Array:
@@ -77,12 +69,15 @@ def _layer_slice(layers: Dict[str, Any], l) -> Dict[str, Any]:
 
 
 def _qkv(config: GptNeoXConfig, lp, x, cos, sin):
-    """ln1 -> fused QKV -> split heads -> rotary. x: [B, S, H]."""
+    """ln1 -> fused QKV -> split heads -> rotary. x: [B, S, H].
+
+    qkv_w's flat output axis is ordered (head, qkv, dh) — HF's native layout —
+    so the per-head q/k/v split is a reshape, never a transpose."""
     B, S, _ = x.shape
     nH, dh = config.head_num, config.size_per_head
-    qkv = linear(x, lp["qkv_w"], lp["qkv_b"])  # [B, S, 3, nH*dh]
-    qkv = qkv.reshape(B, S, 3, nH, dh)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, S, nH, dh]
+    qkv = linear(x, lp["qkv_w"], lp["qkv_b"])  # [B, S, 3*nH*dh]
+    qkv = qkv.reshape(B, S, nH, 3, dh)
+    q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [B, S, nH, dh]
     rot = config.rotary_embedding_dim
     q = apply_rotary(q, cos, sin, rot)
     k = apply_rotary(k, cos, sin, rot)
@@ -99,8 +94,7 @@ def block_prefill(
     config: GptNeoXConfig,
     lp: Dict[str, Any],
     x: jax.Array,  # [B, S, H]
-    k_cache: jax.Array,  # [B, nH, S_max, dh]
-    v_cache: jax.Array,
+    cache_l: KVCache,  # per-layer cache slab dict
     cos: jax.Array,  # [S, rot/2]
     sin: jax.Array,
     mask: jax.Array,  # [B, S, S]
@@ -111,13 +105,7 @@ def block_prefill(
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
     q, k, v = _qkv(config, lp, ln1, cos, sin)
 
-    # write K/V for positions [0, S) into the cache (cache layout [B, nH, S_max, dh])
-    kc = jax.lax.dynamic_update_slice(
-        k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype), (0, 0, 0, 0)
-    )
-    vc = jax.lax.dynamic_update_slice(
-        v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype), (0, 0, 0, 0)
-    )
+    cache_l = kvc.write_prefill(cache_l, k, v)
 
     attn = prefill_attention(q, k, v, mask, sm_scale)  # [B, S, nH, dh]
     attn_out = linear(attn.reshape(B, S, H), lp["proj_w"])
@@ -132,23 +120,14 @@ def block_prefill(
         h = x + attn_out + lp["proj_b"].astype(x.dtype)
         ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
         out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
-    return out, kc, vc
-
-
-def _write_cache_at(cache: jax.Array, new: jax.Array, positions: jax.Array):
-    """Per-row cache write: cache[b, :, positions[b], :] = new[b]
-    (cache [B, nH, S, dh], new [B, nH, 1, dh], positions [B])."""
-    return jax.vmap(
-        lambda c, n, p: jax.lax.dynamic_update_slice(c, n, (0, p, 0))
-    )(cache, new, positions)
+    return out, cache_l
 
 
 def block_decode(
     config: GptNeoXConfig,
     lp: Dict[str, Any],
     x: jax.Array,  # [B, 1, H] — the newest token
-    k_cache: jax.Array,  # [B, nH, S_max, dh]
-    v_cache: jax.Array,
+    cache_l: KVCache,  # per-layer cache slab dict
     cos: jax.Array,  # [B, 1, rot/2] at per-row positions
     sin: jax.Array,
     positions: jax.Array,  # [B] int32: slot of each row's new token
@@ -161,10 +140,9 @@ def block_decode(
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
     q, k, v = _qkv(config, lp, ln1, cos, sin)  # [B, 1, nH, dh]
 
-    kc = _write_cache_at(k_cache, k.transpose(0, 2, 1, 3).astype(k_cache.dtype), positions)
-    vc = _write_cache_at(v_cache, v.transpose(0, 2, 1, 3).astype(v_cache.dtype), positions)
+    cache_l = kvc.write_decode(cache_l, k, v, positions)
 
-    attn = decode_attention(q[:, 0], kc, vc, valid, sm_scale)  # [B, nH, dh]
+    attn = kvc.attend_decode(cache_l, q[:, 0], valid, sm_scale)  # [B, nH, dh]
     attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"])
 
     if config.use_gptj_residual:
@@ -175,21 +153,30 @@ def block_decode(
         h = x + attn_out + lp["proj_b"].astype(x.dtype)
         ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
         out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
-    return out, kc, vc
+    return out, cache_l
 
 
 def _scan_layers(config, params, x, cache, per_layer_fn):
     """Run the layer stack via lax.scan over stacked weights + cache slabs."""
     layers = params["layers"]
-    k_all, v_all = cache
 
     def body(carry, xs):
-        lp, kc, vc = xs
-        y, kc, vc = per_layer_fn(lp, carry, kc, vc)
-        return y, (kc, vc)
+        lp, cache_l = xs
+        y, cache_l = per_layer_fn(lp, carry, cache_l)
+        return y, cache_l
 
-    x, (k_all, v_all) = jax.lax.scan(body, x, (layers, k_all, v_all))
-    return x, (k_all, v_all)
+    x, cache = jax.lax.scan(body, x, (layers, cache))
+    return x, cache
+
+
+def _embed_lookup(params: Params, ids: jax.Array) -> jax.Array:
+    """Token embedding gather; supports int8 embeddings (per-row scales)."""
+    e = params["embed"]
+    if isinstance(e, QuantizedTensor):
+        x = jnp.take(e.q, ids, axis=0).astype(jnp.float32)
+        s = jnp.take(e.scale, ids, axis=0)[..., None]
+        return (x * s).astype(params["final_ln_w"].dtype)
+    return jnp.take(e, ids, axis=0)
 
 
 def prefill(
@@ -201,13 +188,12 @@ def prefill(
 ) -> Tuple[jax.Array, KVCache]:
     """Full-prompt forward. Returns (hidden [B, S, H], cache with [0,S) filled)."""
     B, S = input_ids.shape
-    dtype = params["embed"].dtype
-    x = jnp.take(params["embed"], input_ids, axis=0).astype(dtype)
+    x = _embed_lookup(params, input_ids)
 
     cos_t, sin_t = make_rotary_tables(S, config.rotary_embedding_dim, config.rotary_base)
     mask = make_prefill_mask(input_lengths, S)
 
-    fn = lambda lp, x, kc, vc: block_prefill(config, lp, x, kc, vc, cos_t, sin_t, mask)
+    fn = lambda lp, x, cl: block_prefill(config, lp, x, cl, cos_t, sin_t, mask)
     x, cache = _scan_layers(config, params, x, cache, fn)
     return x, cache
 
@@ -222,9 +208,8 @@ def decode_step(
 ) -> Tuple[jax.Array, KVCache]:
     """One incremental decode step. Returns (hidden [B, H], updated cache)."""
     B = tokens.shape[0]
-    cache_len = cache[0].shape[3]
-    dtype = params["embed"].dtype
-    x = jnp.take(params["embed"], tokens, axis=0).astype(dtype)[:, None, :]  # [B,1,H]
+    cache_len = cache["k"].shape[3]
+    x = _embed_lookup(params, tokens)[:, None, :]  # [B,1,H]
 
     if rotary_tables is None:
         rotary_tables = make_rotary_tables(
@@ -236,9 +221,7 @@ def decode_step(
 
     valid = make_decode_valid(positions, cache_len)
 
-    fn = lambda lp, x, kc, vc: block_decode(
-        config, lp, x, kc, vc, cos, sin, positions, valid
-    )
+    fn = lambda lp, x, cl: block_decode(config, lp, x, cl, cos, sin, positions, valid)
     x, cache = _scan_layers(config, params, x, cache, fn)
     return x[:, 0], cache
 
@@ -253,10 +236,23 @@ def lm_logits(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.A
     """fp32 logits, the analog of the reference's fp32-out LM-head GEMM
     (GptNeoX.cc:866-925)."""
     h = final_norm(config, params, hidden)
-    w = params["lm_head"]
-    logits = jnp.dot(
-        h.reshape(-1, h.shape[-1]), w, preferred_element_type=jnp.float32
-    )
+    w = params["lm_head"]  # [V, H] — contracted on H (both operands H-minor)
+    h2 = h.reshape(-1, h.shape[-1])
+    if isinstance(w, QuantizedTensor):
+        logits = jax.lax.dot_general(
+            h2,
+            w.q.astype(h2.dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * w.scale[None, :].astype(jnp.float32)
+    else:
+        logits = jax.lax.dot_general(
+            h2,
+            w,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     return logits.reshape(h.shape[:-1] + (config.vocab_size,))
 
 

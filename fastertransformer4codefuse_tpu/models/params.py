@@ -11,8 +11,14 @@ transformer stack can be driven by ``lax.scan`` (one compiled block body instead
 of ``layer_num`` unrolled copies).
 
 Weight layouts (x @ W convention, in-features first):
-  qkv_w   [L, H, 3, nH*dh]    column-parallel under TP (shard last axis = heads)
-  qkv_b   [L, 3, nH*dh]
+  qkv_w   [L, H, 3*nH*dh]     fused QKV, column order (head, qkv, dh) — column-
+                              parallel under TP: heads are the MAJOR part of the
+                              flat axis, so a plain last-axis split is a head
+                              split. This is HF's native ordering (no reorder at
+                              convert time) and keeps the kernel rank-2, which
+                              XLA/Mosaic tile without relayout copies (rank-4
+                              int8 operands forced a 2.9GB layout copy).
+  qkv_b   [L, 3*nH*dh]        same column order
   proj_w  [L, nH*dh, H]       row-parallel under TP (shard axis 1 = heads)
   proj_b  [L, H]              absent when use_gptj_residual (folded into down_b)
   up_w    [L, H, I]           column-parallel (shard I)
@@ -22,10 +28,9 @@ Weight layouts (x @ W convention, in-features first):
                                 (reference converter pre-sums them:
                                  huggingface_convert.py:193-206)
 
-The q|k|v blocks are kept as an explicit axis of size 3 (FT's
-``[hidden, 3, heads, head_dim]`` layout, huggingface_convert.py:64-74) so a
-``PartitionSpec(None, None, None, "tp")`` shards each of Q, K, V by head —
-exactly the reference's TP column split.
+The reference instead reorders QKV to ``[hidden, 3, heads, head_dim]``
+(huggingface_convert.py:64-74) because its TP split is a flat chunk of the
+last axis; with heads-major ordering the same flat chunking IS the head split.
 
 INT8 weight-only quantization (int8_mode=1) swaps each big kernel for a
 ``QuantizedTensor`` (int8 payload + per-output-channel fp32 scales), the analog
@@ -120,15 +125,38 @@ def init_params(
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # the whole pytree is built inside ONE jit so generation transients
+    # (uint32 PRNG bits, fp32 pre-cast normals) are fused/planned by XLA
+    # instead of each living as a standalone device buffer — for 13B the
+    # eager path's transients alone exceed a 16GB chip
+    return jax.jit(
+        lambda key: _init_params_inner(config, key, dtype, std, int8_mode)
+    )(rng)
+
+
+def _init_params_inner(config, rng, dtype, std, int8_mode):
+    L = config.layer_num
+    H = config.hidden_size
+    nH = config.head_num
+    dh = config.size_per_head
+    I = config.inter_size
+    V = config.vocab_size
     keys = iter(jax.random.split(rng, 16))
 
     def dense(key, shape):
         return (jax.random.normal(key, shape, jnp.float32) * std).astype(dtype)
 
+    def rand_i8(key, shape):
+        # random.bits(uint8) keeps the transient footprint at 1 byte/elem;
+        # random.randint would materialize an int32 intermediate (4x)
+        return jax.lax.bitcast_convert_type(
+            jax.random.bits(key, shape, jnp.uint8), jnp.int8
+        )
+
     def maybe_quant(key, shape, k_axis):
-        if int8_mode == 1:
+        if int8_mode >= 1:
             qkey, skey = jax.random.split(key)
-            q = jax.random.randint(qkey, shape, -127, 128, jnp.int8)
+            q = rand_i8(qkey, shape)
             scale_shape = tuple(s for i, s in enumerate(shape) if i != k_axis % len(shape))
             scale = (
                 jax.random.uniform(skey, scale_shape, jnp.float32, 0.5, 1.5) * std / 127.0
@@ -139,8 +167,8 @@ def init_params(
     layers = {
         "ln1_w": jnp.ones((L, H), dtype),
         "ln1_b": jnp.zeros((L, H), dtype),
-        "qkv_w": maybe_quant(next(keys), (L, H, 3, nH * dh), k_axis=-3),
-        "qkv_b": jnp.zeros((L, 3, nH * dh), dtype),
+        "qkv_w": maybe_quant(next(keys), (L, H, 3 * nH * dh), k_axis=-2),
+        "qkv_b": jnp.zeros((L, 3 * nH * dh), dtype),
         "proj_w": maybe_quant(next(keys), (L, nH * dh, H), k_axis=-2),
         "ln2_w": jnp.ones((L, H), dtype),
         "ln2_b": jnp.zeros((L, H), dtype),
@@ -152,12 +180,24 @@ def init_params(
     if not config.use_gptj_residual:
         layers["proj_b"] = jnp.zeros((L, H), dtype)
 
+    def maybe_quant_rowwise(key, shape):
+        # int8_mode=2: embeddings/lm-head int8 too (per-row scales) — the
+        # single-16GB-chip configuration for 13B (engine extension; the
+        # reference always keeps these fp16)
+        if int8_mode >= 2:
+            qkey, skey = jax.random.split(key)
+            q = rand_i8(qkey, shape)
+            scale = jax.random.uniform(skey, shape[:-1], jnp.float32, 0.5, 1.5) * std / 127.0
+            return QuantizedTensor(q=q, scale=scale, k_axis=-1)
+        return dense(key, shape)
+
     return {
-        "embed": dense(next(keys), (V, H)),
+        "embed": maybe_quant_rowwise(next(keys), (V, H)),
         "layers": layers,
         "final_ln_w": jnp.ones((H,), dtype),
         "final_ln_b": jnp.zeros((H,), dtype),
-        "lm_head": dense(next(keys), (H, V)),
+        # [V, H]: H-minor feeds the logits GEMM without a transpose copy
+        "lm_head": maybe_quant_rowwise(next(keys), (V, H)),
     }
 
 

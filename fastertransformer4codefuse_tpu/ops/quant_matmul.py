@@ -1,0 +1,109 @@
+"""Pallas fused dequant-matmul: bf16/f32 activations x int8 weights.
+
+The TPU replacement for the reference's CUTLASS fpA-intB mixed GEMM
+(/root/reference/src/fastertransformer/kernels/cutlass_kernels/fpA_intB_gemm/,
+cutlass_extensions' interleaved tile iterators + fast int8->fp16 converters).
+
+Design: the weight tile is DMA'd HBM->VMEM as int8 (half the bytes of bf16 —
+the entire int8 speedup for bandwidth-bound decode GEMMs lives in this DMA),
+converted to the activation dtype on the VPU, fed to the MXU with fp32
+accumulation, and the per-output-channel scale is applied once on the fp32
+accumulator at the K-loop epilogue (scales commute out of the contraction).
+No CUTLASS-style offline layout interleave is needed: Mosaic handles (32,128)
+int8 tiling natively.
+
+Grid: (M/bm, N/bn, K/bk), K innermost ("arbitrary" = sequential reduction),
+M/N "parallel" across megacores. Pallas double-buffers the HBM loads across
+grid steps automatically.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(x_ref.dtype)  # VPU int8 -> act dtype
+    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        scale = s_ref[...].astype(jnp.float32)  # [1, bn]
+        o_ref[...] = (acc_ref[...] * scale).astype(out_dtype)
+
+
+def _pad_to(x, mult, axis):
+    rem = x.shape[axis] % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, mult - rem)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "interpret")
+)
+def quant_matmul_pallas(
+    x: jax.Array,  # [M, K] bf16/f32
+    w: jax.Array,  # [K, N] int8
+    scale: jax.Array,  # [N] f32 per-output-channel
+    out_dtype=None,
+    bm: int = 0,  # 0 = auto
+    bn: int = 512,
+    bk: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    M, K = x.shape
+    K2, N = w.shape
+    assert K == K2 and scale.shape == (N,)
+    out_dtype = out_dtype or x.dtype
+
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    bn = min(bn, N)
+    bk = min(bk, K)
+
+    xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
+    wp = _pad_to(_pad_to(w, bk, 0), bn, 1)
+    sp = _pad_to(scale.reshape(1, N), bn, 1)
+    Mp, Kp = xp.shape
+    Np = wp.shape[1]
+    n_k = Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k, out_dtype=out_dtype),
+        grid=(Mp // bm, Np // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * 2 + Kp * Np + Mp * Np * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, wp, sp)
+    return out[:M, :N]
+
+
+def quant_matmul_reference(x, w, scale):
+    """jnp reference for tests."""
+    acc = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (acc * scale[None, :].astype(jnp.float32)).astype(x.dtype)

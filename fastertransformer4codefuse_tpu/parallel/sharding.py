@@ -34,8 +34,8 @@ def build_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
 LAYER_SPECS = {
     "ln1_w": P(),
     "ln1_b": P(),
-    "qkv_w": P(None, None, None, "tp"),  # [L, H, 3, nH*dh] — split heads
-    "qkv_b": P(None, None, "tp"),
+    "qkv_w": P(None, None, "tp"),  # [L, H, nH*3*dh] heads-major flat — head split
+    "qkv_b": P(None, "tp"),
     "proj_w": P(None, "tp", None),  # [L, nH*dh, H] — row split
     "proj_b": P(),
     "ln2_w": P(),
@@ -50,7 +50,7 @@ TOP_SPECS = {
     "embed": P(),  # replicated (gather-heavy; small vs layer weights)
     "final_ln_w": P(),
     "final_ln_b": P(),
-    "lm_head": P(None, "tp"),  # vocab-split, like the reference's TP lm head
+    "lm_head": P("tp", None),  # [V, H] vocab-split, like the reference's TP lm head
 }
 
 
