@@ -185,36 +185,31 @@ class GptNeoXEngine:
         finished = s.finished | newly_finished
         gen_step = s.gen_step + 1
 
-        # ---- forward the new token unless generation is over -----------------
-        done = jnp.logical_or(gen_step >= st.output_len, jnp.all(finished))
-
-        def fwd(operand):
-            tokens_, seq_lens_, cache = operand
-            positions = jnp.clip(seq_lens_ - 1, 0, T - 1)
-            newest = tokens_[jnp.arange(B), positions]
-            hidden, cache = model.decode_step(cfg, params, newest, positions, cache)
-            lg = model.lm_logits(cfg, params, hidden)
-            return lg, cache
-
-        def skip(operand):
-            _, _, cache = operand
-            return s.logits, cache
-
-        logits_next, cache = jax.lax.cond(
-            done, skip, fwd, (tokens, seq_lens, s.cache)
-        )
-
-        return DecodeState(
+        return s._replace(
             tokens=tokens,
             seq_lens=seq_lens,
             gen_step=gen_step,
             finished=finished,
             cum_log_probs=cum_log_probs,
-            base_keys=s.base_keys,
-            logits=logits_next,
-            cache=cache,
             newest=tok,
         )
+
+    def _forward_newest(self, st: _Statics, params: Params, s: DecodeState) -> DecodeState:
+        """Decode-forward the newest token, producing logits for the next sample.
+
+        Kept OUT of any lax.cond: a conditional over the cache pytree breaks
+        XLA's buffer aliasing and copies the entire KV cache every step
+        (observed: 2x640us per step on 13B). The generation loop instead runs
+        ``output_len - 1`` sample+forward iterations and a final sample-only
+        step, so no forward is ever wasted.
+        """
+        cfg = self.config
+        B, T = s.tokens.shape
+        positions = jnp.clip(s.seq_lens - 1, 0, T - 1)
+        newest = s.tokens[jnp.arange(B), positions]
+        hidden, cache = model.decode_step(cfg, params, newest, positions, s.cache)
+        logits = model.lm_logits(cfg, params, hidden)
+        return s._replace(logits=logits, cache=cache)
 
     def _prefill_state(self, st: _Statics, params: Params, inputs: Dict[str, jax.Array]) -> DecodeState:
         cfg = self.config
@@ -252,13 +247,18 @@ class GptNeoXEngine:
 
             def cond(s):
                 return jnp.logical_and(
-                    s.gen_step < st.output_len, jnp.logical_not(jnp.all(s.finished))
+                    s.gen_step < st.output_len - 1,
+                    jnp.logical_not(jnp.all(s.finished)),
                 )
 
             def body(s):
-                return self._sample_and_advance(st, params, inputs, s)
+                s = self._sample_and_advance(st, params, inputs, s)
+                return self._forward_newest(st, params, s)
 
             s = jax.lax.while_loop(cond, body, s)
+            # final token: sample only (no forward needed; also a no-op when the
+            # loop exited early because every row already finished)
+            s = self._sample_and_advance(st, params, inputs, s)
             return s.tokens, s.seq_lens, s.cum_log_probs
 
         fn = jax.jit(run)
@@ -271,9 +271,18 @@ class GptNeoXEngine:
                 lambda params, inputs: self._prefill_state(st, params, inputs)
             )
         if st not in self._step_cache:
-            self._step_cache[st] = jax.jit(
-                lambda params, inputs, s: self._sample_and_advance(st, params, inputs, s),
-                donate_argnums=(2,),
+            def step(params, inputs, s):
+                s = self._sample_and_advance(st, params, inputs, s)
+                return self._forward_newest(st, params, s)
+
+            self._step_cache[st] = (
+                jax.jit(step, donate_argnums=(2,)),
+                jax.jit(
+                    lambda params, inputs, s: self._sample_and_advance(
+                        st, params, inputs, s
+                    ),
+                    donate_argnums=(2,),
+                ),
             )
         return self._prefill_cache[st], self._step_cache[st]
 
@@ -414,11 +423,13 @@ class GptNeoXEngine:
             fn = self._get_generate_fn(st)
             tokens, seq_lens, cum_lp = jax.device_get(fn(self.params, inputs))
         else:
-            prefill_fn, step_fn = self._get_stream_fns(st)
+            prefill_fn, (step_fn, final_fn) = self._get_stream_fns(st)
             s = prefill_fn(self.params, inputs)
             prev_finished = np.zeros((st.batch,), bool)
-            for _ in range(st.output_len):
-                s = step_fn(self.params, inputs, s)
+            for i in range(st.output_len):
+                s = (final_fn if i == st.output_len - 1 else step_fn)(
+                    self.params, inputs, s
+                )
                 newest, seq_lens_d, finished = jax.device_get(
                     (s.newest, s.seq_lens, s.finished)
                 )

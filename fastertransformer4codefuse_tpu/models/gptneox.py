@@ -94,7 +94,8 @@ def block_prefill(
     config: GptNeoXConfig,
     lp: Dict[str, Any],
     x: jax.Array,  # [B, S, H]
-    cache_l: KVCache,  # per-layer cache slab dict
+    cache: KVCache,  # full stacked cache (updated in place at `layer`)
+    layer: jax.Array,
     cos: jax.Array,  # [S, rot/2]
     sin: jax.Array,
     mask: jax.Array,  # [B, S, S]
@@ -105,7 +106,7 @@ def block_prefill(
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
     q, k, v = _qkv(config, lp, ln1, cos, sin)
 
-    cache_l = kvc.write_prefill(cache_l, k, v)
+    cache = kvc.write_prefill(cache, layer, k, v)
 
     attn = prefill_attention(q, k, v, mask, sm_scale)  # [B, S, nH, dh]
     attn_out = linear(attn.reshape(B, S, H), lp["proj_w"])
@@ -120,14 +121,15 @@ def block_prefill(
         h = x + attn_out + lp["proj_b"].astype(x.dtype)
         ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
         out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
-    return out, cache_l
+    return out, cache
 
 
 def block_decode(
     config: GptNeoXConfig,
     lp: Dict[str, Any],
     x: jax.Array,  # [B, 1, H] — the newest token
-    cache_l: KVCache,  # per-layer cache slab dict
+    cache: KVCache,  # full stacked cache (updated in place at `layer`)
+    layer: jax.Array,
     cos: jax.Array,  # [B, 1, rot/2] at per-row positions
     sin: jax.Array,
     positions: jax.Array,  # [B] int32: slot of each row's new token
@@ -140,9 +142,9 @@ def block_decode(
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
     q, k, v = _qkv(config, lp, ln1, cos, sin)  # [B, 1, nH, dh]
 
-    cache_l = kvc.write_decode(cache_l, k, v, positions)
+    cache = kvc.write_decode(cache, layer, k, v, positions)
 
-    attn = kvc.attend_decode(cache_l, q[:, 0], valid, sm_scale)  # [B, nH, dh]
+    attn = kvc.attend_decode(cache, layer, q[:, 0], valid, sm_scale)  # [B, nH, dh]
     attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"])
 
     if config.use_gptj_residual:
@@ -153,19 +155,25 @@ def block_decode(
         h = x + attn_out + lp["proj_b"].astype(x.dtype)
         ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
         out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
-    return out, cache_l
+    return out, cache
 
 
 def _scan_layers(config, params, x, cache, per_layer_fn):
-    """Run the layer stack via lax.scan over stacked weights + cache slabs."""
+    """Run the layer stack via lax.scan over stacked weights.
+
+    The cache rides in the CARRY (updated in place at the layer index inside
+    the block) rather than as scan xs/ys — the xs/ys form re-assembles the
+    stacked slabs with a full copy every call."""
     layers = params["layers"]
+    L = config.layer_num
 
     def body(carry, xs):
-        lp, cache_l = xs
-        y, cache_l = per_layer_fn(lp, carry, cache_l)
-        return y, cache_l
+        x, cache = carry
+        l, lp = xs
+        y, cache = per_layer_fn(lp, x, cache, l)
+        return (y, cache), None
 
-    x, cache = jax.lax.scan(body, x, (layers, cache))
+    (x, cache), _ = jax.lax.scan(body, (x, cache), (jnp.arange(L), layers))
     return x, cache
 
 
@@ -193,7 +201,7 @@ def prefill(
     cos_t, sin_t = make_rotary_tables(S, config.rotary_embedding_dim, config.rotary_base)
     mask = make_prefill_mask(input_lengths, S)
 
-    fn = lambda lp, x, cl: block_prefill(config, lp, x, cl, cos_t, sin_t, mask)
+    fn = lambda lp, x, c, l: block_prefill(config, lp, x, c, l, cos_t, sin_t, mask)
     x, cache = _scan_layers(config, params, x, cache, fn)
     return x, cache
 
@@ -221,7 +229,7 @@ def decode_step(
 
     valid = make_decode_valid(positions, cache_len)
 
-    fn = lambda lp, x, cl: block_decode(config, lp, x, cl, cos, sin, positions, valid)
+    fn = lambda lp, x, c, l: block_decode(config, lp, x, c, l, cos, sin, positions, valid)
     x, cache = _scan_layers(config, params, x, cache, fn)
     return x[:, 0], cache
 
