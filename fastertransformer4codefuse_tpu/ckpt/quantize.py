@@ -28,27 +28,41 @@ from ..core.config import GptNeoXConfig
 from ..models.params import Params, QuantizedTensor
 
 
-def quantize_array(w: jax.Array, k_axis: int = -2) -> QuantizedTensor:
-    """Symmetric per-output-channel int8 quantization.
+def quantize_array(w: jax.Array, k_axis: int = -2, bits: int = 8) -> QuantizedTensor:
+    """Symmetric per-output-channel int8/int4 quantization.
 
-    ``scale[n] = max_k |w[k, n]| / 127``; ``q = round(w / scale)``. Zero columns
-    get scale 1 to avoid division by zero (the reference clamps the same way).
+    bits=8: ``scale[n] = max_k |w[k, n]| / 127``; ``q = round(w / scale)``.
+    bits=4: scale uses /7, values clip to [-8, 7] and adjacent K-row pairs pack
+    per byte (row 2i in the low nibble, row 2i+1 in the high — the TPU int4
+    bitcast order, see QuantizedTensor.bits). Zero columns get scale 1 to avoid
+    division by zero (the reference clamps the same way).
     """
+    assert bits in (8, 4)
     w32 = jnp.asarray(w, jnp.float32)
     k_ax = k_axis % w32.ndim
+    qmax = 127.0 if bits == 8 else 7.0
     amax = jnp.max(jnp.abs(w32), axis=k_ax)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
     q = jnp.round(w32 / jnp.expand_dims(scale, k_ax))
-    q = jnp.clip(q, -127, 127).astype(jnp.int8)
-    # store k_axis end-relative so lax.scan layer-slicing stays consistent
     k_axis_rel = k_ax - w32.ndim
-    return QuantizedTensor(q=q, scale=scale, k_axis=k_axis_rel)
+    if bits == 8:
+        q = jnp.clip(q, -127, 127).astype(jnp.int8)
+    else:
+        q = jnp.clip(q, -8, 7).astype(jnp.int8)
+        K = q.shape[k_ax]
+        assert K % 2 == 0, "int4 packing needs an even contraction dim"
+        lo = jax.lax.slice_in_dim(q, 0, K, stride=2, axis=k_ax)
+        hi = jax.lax.slice_in_dim(q, 1, K, stride=2, axis=k_ax)
+        q = jnp.left_shift(hi, 4) | (lo & 0xF)
+    return QuantizedTensor(q=q, scale=scale, k_axis=k_axis_rel, bits=bits)
 
 
 _QUANT_KEYS = ("qkv_w", "proj_w", "up_w", "down_w")
 
 
-def quantize_params(params: Params, include_embeddings: bool = False) -> Params:
+def quantize_params(
+    params: Params, include_embeddings: bool = False, weight_bits: int = 8
+) -> Params:
     """Quantize the four big per-layer kernels (embeddings and lm head stay in
     the float dtype by default, exactly the reference's coverage —
     codefuse_example.py:273-285).
@@ -64,7 +78,7 @@ def quantize_params(params: Params, include_embeddings: bool = False) -> Params:
         w = layers[k]
         if isinstance(w, QuantizedTensor):
             continue
-        layers[k] = quantize_array(w, k_axis=-2)
+        layers[k] = quantize_array(w, k_axis=-2, bits=weight_bits)
     out = dict(params)
     out["layers"] = layers
     if include_embeddings:

@@ -37,7 +37,7 @@ from ..models import gptneox as model
 from ..models.params import Params
 from ..sampling import processors as proc
 from ..sampling.sample import sample_greedy, sample_top_k_top_p
-from ..ops.linear import set_use_pallas
+from ..ops.linear import set_on_tpu, set_use_pallas
 
 
 class DecodeState(NamedTuple):
@@ -112,6 +112,7 @@ class GptNeoXEngine:
         self._step_cache: Dict[_Statics, Callable] = {}
         backend = jax.default_backend()
         set_use_pallas(self.runtime.use_pallas and backend == "tpu")
+        set_on_tpu(backend == "tpu")
         if mesh is not None:
             from ..parallel.sharding import shard_params
 

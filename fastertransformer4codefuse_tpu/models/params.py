@@ -63,30 +63,55 @@ class QuantizedTensor:
     minus the CUTLASS layout interleaving, which has no TPU analog.
     """
 
-    q: jax.Array  # int8, logical kernel shape
-    scale: jax.Array  # f32, q.shape with k_axis removed
+    q: jax.Array  # int8 container; for bits=4 the K axis is nibble-packed (K/2)
+    scale: jax.Array  # f32, logical shape with k_axis removed
     k_axis: int = -2  # contraction axis of q, end-relative (static / aux data)
+    bits: int = 8  # 8 = one int8/elem; 4 = two int4 nibbles per int8 along K,
+    # INTERLEAVED: logical row 2i sits in byte-row i's LOW nibble and row 2i+1
+    # in its HIGH nibble — exactly the order Mosaic's int8->int4 bitcast
+    # produces on TPU, so the Pallas W4 kernel unpacks for free. jnp.int4
+    # arrays exist but cannot cross jit boundaries on this backend, hence the
+    # int8 container. The reference's CUTLASS fpA-intB path has the same two
+    # widths (WeightOnlyQuantOps.cc int4 pack/unpack helpers).
 
     def tree_flatten(self):
-        return (self.q, self.scale), self.k_axis
+        return (self.q, self.scale), (self.k_axis, self.bits)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale = children
-        return cls(q=q, scale=scale, k_axis=aux)
+        k_axis, bits = aux
+        return cls(q=q, scale=scale, k_axis=k_axis, bits=bits)
 
     @property
     def shape(self):
+        """Logical (unquantized) kernel shape."""
+        if self.bits == 4:
+            shape = list(self.q.shape)
+            shape[self.k_axis % len(shape)] *= 2
+            return tuple(shape)
         return self.q.shape
 
     @property
     def ndim(self):
         return self.q.ndim
 
+    def unpack(self) -> jax.Array:
+        """int8 values in the logical shape (sign-extended nibbles for bits=4)."""
+        if self.bits == 8:
+            return self.q
+        k_ax = self.k_axis % self.q.ndim
+        lo = jnp.right_shift(jnp.left_shift(self.q, 4), 4)  # arithmetic: sign-extend
+        hi = jnp.right_shift(self.q, 4)
+        inter = jnp.stack([lo, hi], axis=k_ax + 1)  # [..., Kh, 2, ...]
+        shape = list(self.q.shape)
+        shape[k_ax] *= 2
+        return inter.reshape(shape)
+
     def dequantize(self, dtype=jnp.float32):
         k_axis = self.k_axis % self.q.ndim
         scale = jnp.expand_dims(self.scale, k_axis).astype(jnp.float32)
-        return (self.q.astype(jnp.float32) * scale).astype(dtype)
+        return (self.unpack().astype(jnp.float32) * scale).astype(dtype)
 
     def __getitem__(self, idx):
         """Index the leading (layer) axis, keeping payload+scale consistent.
@@ -95,7 +120,9 @@ class QuantizedTensor:
         leading layer axis is peeled off (here and by lax.scan slicing).
         """
         assert self.k_axis < 0, "k_axis must be end-relative (negative)"
-        return QuantizedTensor(q=self.q[idx], scale=self.scale[idx], k_axis=self.k_axis)
+        return QuantizedTensor(
+            q=self.q[idx], scale=self.scale[idx], k_axis=self.k_axis, bits=self.bits
+        )
 
 
 Params = Dict[str, Any]
@@ -107,6 +134,7 @@ def init_params(
     dtype: Any = jnp.float32,
     std: float = 0.02,
     int8_mode: int = 0,
+    weight_bits: int = 8,
 ) -> Params:
     """Random-init a full parameter pytree (tests / benchmarks).
 
@@ -130,11 +158,11 @@ def init_params(
     # instead of each living as a standalone device buffer — for 13B the
     # eager path's transients alone exceed a 16GB chip
     return jax.jit(
-        lambda key: _init_params_inner(config, key, dtype, std, int8_mode)
+        lambda key: _init_params_inner(config, key, dtype, std, int8_mode, weight_bits)
     )(rng)
 
 
-def _init_params_inner(config, rng, dtype, std, int8_mode):
+def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8):
     L = config.layer_num
     H = config.hidden_size
     nH = config.head_num
@@ -156,12 +184,16 @@ def _init_params_inner(config, rng, dtype, std, int8_mode):
     def maybe_quant(key, shape, k_axis):
         if int8_mode >= 1:
             qkey, skey = jax.random.split(key)
-            q = rand_i8(qkey, shape)
+            qshape = list(shape)
+            if weight_bits == 4:
+                qshape[k_axis % len(shape)] //= 2  # nibble-packed container
+            q = rand_i8(qkey, tuple(qshape))
             scale_shape = tuple(s for i, s in enumerate(shape) if i != k_axis % len(shape))
+            qmax = 127.0 if weight_bits == 8 else 7.0
             scale = (
-                jax.random.uniform(skey, scale_shape, jnp.float32, 0.5, 1.5) * std / 127.0
+                jax.random.uniform(skey, scale_shape, jnp.float32, 0.5, 1.5) * std / qmax
             )
-            return QuantizedTensor(q=q, scale=scale, k_axis=k_axis)
+            return QuantizedTensor(q=q, scale=scale, k_axis=k_axis, bits=weight_bits)
         return dense(key, shape)
 
     layers = {

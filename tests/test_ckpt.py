@@ -111,3 +111,34 @@ def test_int8_engine_close_to_fp():
     # token must agree, and all outputs must be valid ids
     assert out_fp.output_ids[0, 0, 4] == out_q.output_ids[0, 0, 4]
     assert (out_q.output_ids < cfg.vocab_size).all()
+
+
+def test_int4_quantize_roundtrip():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    w = rng.randn(64, 32).astype(np.float32)
+    qt = quantize_array(jnp.asarray(w), k_axis=-2, bits=4)
+    assert qt.q.shape == (32, 32)  # K packed
+    assert qt.shape == (64, 32)  # logical
+    deq = np.asarray(qt.dequantize(jnp.float32))
+    bound = np.asarray(qt.scale) * 0.5 + 1e-6
+    assert (np.abs(deq - w) <= bound[None, :] + 1e-6).all()
+    # unpack/pack identity on int4-representable values (col amax -> 7, scale 1)
+    q4 = rng.randint(-7, 8, size=(64, 32)).astype(np.float32)
+    q4[0, :] = 7
+    qt2 = quantize_array(jnp.asarray(q4), k_axis=-2, bits=4)
+    np.testing.assert_allclose(np.asarray(qt2.dequantize(jnp.float32)), q4, atol=1e-5)
+
+
+def test_int4_engine_runs():
+    hf = make_hf()
+    from fastertransformer4codefuse_tpu.ckpt.convert import config_from_hf, params_from_hf_state_dict
+
+    cfg = config_from_hf(hf.config)
+    params = params_from_hf_state_dict(cfg, hf.state_dict(), dtype="fp32")
+    q4 = quantize_params(params, weight_bits=4)
+    eng = GptNeoXEngine(cfg, q4, RuntimeConfig(dtype="fp32", int8_mode=1, seq_bucket=4))
+    out = eng.generate([[5, 9, 13, 21]], output_len=4, top_k=1)
+    assert (out.output_ids < cfg.vocab_size).all()
+    assert out.sequence_lengths[0, 0] >= 5
