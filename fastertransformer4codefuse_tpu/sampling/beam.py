@@ -1,8 +1,238 @@
-"""Beam search (online-softmax style) — the analog of the reference's
-OnlineBeamSearchLayer (/root/reference/src/fastertransformer/layers/
-beam_search_layers/). Implemented in a later milestone."""
+"""Beam search decoding.
+
+Rebuild of the reference's beam stack
+(/root/reference/src/fastertransformer/layers/beam_search_layers/
+OnlineBeamSearchLayer.cu + BaseBeamSearchLayer.cu and the
+online_softmax_beamsearch kernels): per-beam top-k -> diversity penalty ->
+cross-beam merge, GNMT-style length penalty, finished beams frozen as
+candidates, stop-words/end-id criteria per beam.
+
+Design departure: the reference keeps the KV cache fixed and tracks beam
+reassignments through ``cache_indirection`` arrays resolved inside the decode
+attention kernel (GptNeoX.cc:776-778, 1011-1017), then reconstructs sequences
+with gather_tree. Here beams are physically reordered each step (a batch-axis
+gather of cache and token buffers, the t5x/flax approach) — simpler, exact,
+and the reorder is one gather over [L, BB, nH, S, dh]; the indirection
+optimization can come later without API change.
+
+Prompts are tiled beam_width times before prefill, exactly like the
+reference's invokeTileGptInputs (GptNeoX.cc:590-597).
+"""
 from __future__ import annotations
 
+from typing import Dict, NamedTuple, Optional
 
-def beam_search_generate(engine, input_ids, output_len, beam_width, callback=None, **kw):
-    raise NotImplementedError("beam search lands in a later milestone; use beam_width=1")
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sampling import processors as proc
+
+NEG_INF = proc.NEG_INF
+
+
+def _length_penalty_factor(lengths: jax.Array, len_penalty: jax.Array) -> jax.Array:
+    """GNMT length normalization ((5+len)/6)^alpha (FT's apply_length_penalty)."""
+    base = (5.0 + lengths.astype(jnp.float32)) / 6.0
+    return jnp.power(base, len_penalty.astype(jnp.float32))
+
+
+def beam_search_generate(
+    engine,
+    input_ids,
+    output_len: int,
+    beam_width: int,
+    callback=None,
+    beam_search_diversity_rate=None,
+    len_penalty=None,
+    **sampling_kwargs,
+):
+    from ..engine.engine import GenerationOutput
+    from ..models import gptneox as model
+
+    B = len(input_ids)
+    bw = beam_width
+    cfg = engine.config
+    end_id = cfg.end_id
+
+    if callback is not None:
+        raise NotImplementedError("streaming callbacks with beam_width > 1 land later")
+
+    # tile prompts beam-minor: rows [b*bw + j]
+    tiled = [list(ids) for ids in input_ids for _ in range(bw)]
+    # beam search ignores top_k/top_p (like the reference's DynamicDecodeLayer
+    # routing, which dispatches to beam layers when beam_width > 1)
+    sampling_kwargs.pop("top_k", None)
+    sampling_kwargs.pop("top_p", None)
+    # tile per-batch request arrays to per-row (beam-minor)
+    for k, v in list(sampling_kwargs.items()):
+        if v is None or np.isscalar(v):
+            continue
+        arr = np.asarray(v)
+        if arr.ndim >= 1 and arr.shape[0] == B:
+            sampling_kwargs[k] = np.repeat(arr, bw, axis=0)
+    st, inputs = engine._prepare(tiled, output_len, **sampling_kwargs)
+
+    def tile_param(v, default):
+        if v is None:
+            arr = np.full((B,), default, np.float32)
+        elif np.isscalar(v):
+            arr = np.full((B,), v, np.float32)
+        else:
+            arr = np.asarray(v, np.float32)
+        return jnp.asarray(np.repeat(arr, bw))
+
+    inputs = dict(inputs)
+    inputs["diversity_rate"] = tile_param(beam_search_diversity_rate, 0.0)
+    inputs["len_penalty"] = tile_param(len_penalty, 0.0)
+
+    key = (st, bw)
+    fn = engine._beam_cache.get(key) if hasattr(engine, "_beam_cache") else None
+    if not hasattr(engine, "_beam_cache"):
+        engine._beam_cache = {}
+    if fn is None:
+        fn = _build_beam_fn(engine, st, bw)
+        engine._beam_cache[key] = fn
+
+    tokens, seq_lens, cum_lp = jax.device_get(fn(engine.params, inputs))
+
+    return GenerationOutput(
+        output_ids=tokens.reshape(B, bw, -1),
+        sequence_lengths=seq_lens.reshape(B, bw),
+        cum_log_probs=cum_lp.reshape(B, bw),
+    )
+
+
+def _build_beam_fn(engine, st, bw: int):
+    cfg = engine.config
+    end_id = cfg.end_id
+    B = st.batch // bw
+
+    def process_logits(params, inputs, s):
+        """Shared logit processors (same order as the sampling path /
+        BaseBeamSearchLayer::invokeAddBiasApplyPenalties)."""
+        logits = s.logits
+        T = s.tokens.shape[1]
+        if st.use_optional_last:
+            # optional_last_tokens was prepared per tiled row -> beam grouping 1
+            logits = proc.apply_optional_last_tokens(
+                logits, inputs["optional_last_tokens"], 1, s.gen_step == 0
+            )
+        if st.use_bad_words:
+            logits = proc.ban_bad_words(logits, s.tokens, s.seq_lens, inputs["bad_words"], 1)
+        if st.use_temperature:
+            logits = proc.apply_temperature(logits, inputs["temperature"])
+        if st.use_rep_penalty:
+            buf_valid = jnp.arange(T)[None, :] < s.seq_lens[:, None]
+            logits = proc.apply_repetition_penalty(
+                logits, s.tokens, buf_valid, inputs["repetition_penalty"]
+            )
+        if st.use_min_length:
+            gen_lens = s.seq_lens - inputs["input_lengths"]
+            logits = proc.apply_min_length(logits, gen_lens, inputs["min_length"], end_id)
+        return logits
+
+    def beam_advance(params, inputs, s):
+        BB, T = s.tokens.shape
+        V = cfg.vocab_size
+        logits = process_logits(params, inputs, s)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+
+        # finished beams contribute a single frozen candidate: end_id at lp 0
+        finished_row = jnp.full((V,), NEG_INF, jnp.float32).at[end_id].set(0.0)
+        log_probs = jnp.where(s.finished[:, None], finished_row[None, :], log_probs)
+
+        # per-beam top-bw candidates
+        top_lp, top_id = jax.lax.top_k(log_probs, bw)  # [BB, bw]
+        cand_cum = s.cum_log_probs[:, None] + top_lp  # raw cumulative
+        # diversity penalty on sibling rank (FT diversity_rate semantics)
+        rank = jnp.arange(bw, dtype=jnp.float32)[None, :]
+        cand_score = cand_cum - inputs["diversity_rate"][:, None] * rank
+        # GNMT length penalty on the ranking score only
+        new_lens = jnp.where(s.finished, s.seq_lens, s.seq_lens + 1)
+        lp_factor = _length_penalty_factor(
+            new_lens - inputs["input_lengths"], inputs["len_penalty"]
+        )
+        cand_score = cand_score / lp_factor[:, None]
+
+        # cross-beam merge per batch
+        cand_score = cand_score.reshape(B, bw * bw)
+        cand_cum = cand_cum.reshape(B, bw * bw)
+        cand_id = top_id.reshape(B, bw * bw)
+        sel_score, sel = jax.lax.top_k(cand_score, bw)  # [B, bw]
+        parent = sel // bw  # source beam within the batch
+        new_tok = jnp.take_along_axis(cand_id, sel, axis=1)  # [B, bw]
+        new_cum = jnp.take_along_axis(cand_cum, sel, axis=1)
+
+        # global row indices for the reorder gather
+        src = (jnp.arange(B)[:, None] * bw + parent).reshape(-1)  # [BB]
+        new_tok = new_tok.reshape(-1)
+        new_cum = new_cum.reshape(-1)
+
+        tokens = jnp.take(s.tokens, src, axis=0)
+        seq_lens = jnp.take(s.seq_lens, src, axis=0)
+        finished = jnp.take(s.finished, src, axis=0)
+        input_lengths = inputs["input_lengths"]  # identical across beams per batch
+
+        cache = {k: jnp.take(v, src, axis=1) for k, v in s.cache.items()}
+
+        tok = jnp.where(finished, end_id, new_tok)
+        write_idx = jnp.clip(seq_lens, 0, T - 1)
+        tokens = tokens.at[jnp.arange(BB), write_idx].set(
+            jnp.where(finished, tokens[jnp.arange(BB), write_idx], tok)
+        )
+        seq_lens = seq_lens + jnp.where(finished, 0, 1)
+        cum_log_probs = jnp.where(finished, s.cum_log_probs[src], new_cum)
+
+        newly = tok == end_id
+        if st.use_stop_words:
+            newly = newly | proc.stop_words_criterion(
+                tokens, seq_lens, inputs["stop_words"], 1
+            )
+        finished = finished | newly
+
+        return s._replace(
+            tokens=tokens,
+            seq_lens=seq_lens,
+            gen_step=s.gen_step + 1,
+            finished=finished,
+            cum_log_probs=cum_log_probs,
+            cache=cache,
+            newest=tok,
+        )
+
+    def run(params, inputs):
+        s = engine._prefill_state(st, params, inputs)
+        # step 0: only beam 0 of each batch proposes (classic init trick —
+        # otherwise all beams pick identical tokens)
+        beam_idx = jnp.arange(st.batch) % bw
+        s = s._replace(
+            cum_log_probs=jnp.where(beam_idx == 0, 0.0, NEG_INF).astype(jnp.float32)
+        )
+
+        def cond(s):
+            return jnp.logical_and(
+                s.gen_step < st.output_len - 1, jnp.logical_not(jnp.all(s.finished))
+            )
+
+        def body(s):
+            s = beam_advance(params, inputs, s)
+            return engine._forward_newest(st, params, s)
+
+        s = jax.lax.while_loop(cond, body, s)
+        s = beam_advance(params, inputs, s)
+
+        # restore true cumulative scores (beam-0 init masking leaves real values)
+        # and sort beams per batch by length-penalized score, best first
+        lp_factor = _length_penalty_factor(
+            s.seq_lens - inputs["input_lengths"], inputs["len_penalty"]
+        )
+        score = (s.cum_log_probs / lp_factor).reshape(B, bw)
+        order = jnp.argsort(-score, axis=1)  # [B, bw]
+        src = (jnp.arange(B)[:, None] * bw + order).reshape(-1)
+        tokens = jnp.take(s.tokens, src, axis=0)
+        seq_lens = jnp.take(s.seq_lens, src, axis=0)
+        cum = jnp.take(s.cum_log_probs, src, axis=0)
+        return tokens, seq_lens, cum
+
+    return jax.jit(run)
