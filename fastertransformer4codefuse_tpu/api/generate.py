@@ -53,7 +53,11 @@ def init_engine_and_tokenizer(
     )
     engine = GptNeoXEngine(config, params, runtime, mesh=mesh)
     if trie_needed:
-        return engine, tokenizer, VocabTrie(tokenizer.get_vocab())
+        from .. import native
+
+        vocab = tokenizer.get_vocab()
+        trie = native.NativeTrie(vocab) if native.available() else VocabTrie(vocab)
+        return engine, tokenizer, trie
     return engine, tokenizer
 
 

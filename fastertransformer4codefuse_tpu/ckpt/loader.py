@@ -56,6 +56,29 @@ def detect_tp_size(ckpt: str) -> int:
     return len(_rank_files(ckpt, "model.layers.0.attention.query_key_value.bias"))
 
 
+def _bulk_read_dir(ckpt_path: str, num_threads: int):
+    """Prefetch every .bin in the dir into host memory in one native call
+    (C++ thread-pool preads — the analog of the reference's load-speed
+    optimizations, README.md:36) with a Python thread-pool fallback."""
+    from .. import native
+
+    paths = sorted(glob.glob(os.path.join(ckpt_path, "*.bin")))
+    sizes = [os.path.getsize(p) for p in paths]
+    bufs = [np.empty(s, np.uint8) for s in sizes]
+    if native.available():
+        native.read_files(paths, bufs, threads=num_threads)
+    else:
+        pool = ThreadPoolExecutor(num_threads)
+
+        def rd(i):
+            with open(paths[i], "rb") as f:
+                f.readinto(memoryview(bufs[i]))
+
+        list(pool.map(rd, range(len(paths))))
+        pool.shutdown()
+    return dict(zip(paths, bufs))
+
+
 def load_bin_checkpoint(
     ckpt_path: str,
     config: Optional[GptNeoXConfig] = None,
@@ -78,18 +101,19 @@ def load_bin_checkpoint(
     )
     tp = detect_tp_size(ckpt_path)
     pool = ThreadPoolExecutor(num_threads)
+    blobs = _bulk_read_dir(ckpt_path, num_threads)
+
+    def _view(path, dt):
+        return np.frombuffer(blobs[path], dtype=dt)
 
     def read(name, shape=None, dt=wdt):
-        arr = np.fromfile(os.path.join(ckpt_path, name), dtype=dt)
+        arr = _view(os.path.join(ckpt_path, name), dt)
         return arr.reshape(shape) if shape is not None else arr
 
     def read_split(base, rank_shape, axis, dt=wdt):
-        parts = list(
-            pool.map(
-                lambda p: np.fromfile(p, dtype=dt).reshape(rank_shape),
-                _rank_files(ckpt_path, base),
-            )
-        )
+        parts = [
+            _view(p, dt).reshape(rank_shape) for p in _rank_files(ckpt_path, base)
+        ]
         return np.concatenate(parts, axis=axis)
 
     def stack(fn):
@@ -150,11 +174,11 @@ def load_bin_checkpoint(
             for i in range(L):
                 base = base_fmt.format(i)
                 qparts = [
-                    np.fromfile(p, dtype=np.int8).reshape(rank_q_shape)
+                    _view(p, np.int8).reshape(rank_q_shape)
                     for p in _q_rank_files(base, "q")
                 ]
                 sparts = [
-                    np.fromfile(p, dtype=wdt).reshape(rank_s_shape)
+                    _view(p, wdt).reshape(rank_s_shape)
                     for p in _q_rank_files(base, "s")
                 ]
                 if tp == 1 or axis != 0:
