@@ -185,6 +185,7 @@ class RuntimeConfig:
     max_seq_len: int = 2048
     seq_bucket: int = 128
     use_pallas: bool = False
+    use_flash_prefill: bool = True
     tensor_para_size: int = 1
     data_para_size: int = 1
     logits_dtype: str = "fp32"

@@ -37,6 +37,7 @@ from ..models import gptneox as model
 from ..models.params import Params
 from ..sampling import processors as proc
 from ..sampling.sample import sample_greedy, sample_top_k_top_p
+from ..ops.attention import set_flash_prefill
 from ..ops.linear import set_on_tpu, set_use_pallas
 
 
@@ -113,6 +114,7 @@ class GptNeoXEngine:
         backend = jax.default_backend()
         set_use_pallas(self.runtime.use_pallas and backend == "tpu")
         set_on_tpu(backend == "tpu")
+        set_flash_prefill(self.runtime.use_flash_prefill and backend == "tpu")
         if mesh is not None:
             from ..parallel.sharding import shard_params
 

@@ -99,6 +99,7 @@ def block_prefill(
     cos: jax.Array,  # [S, rot/2]
     sin: jax.Array,
     mask: jax.Array,  # [B, S, S]
+    input_lengths=None,
 ):
     B, S, H = x.shape
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
@@ -108,7 +109,7 @@ def block_prefill(
 
     cache = kvc.write_prefill(cache, layer, k, v)
 
-    attn = prefill_attention(q, k, v, mask, sm_scale)  # [B, S, nH, dh]
+    attn = prefill_attention(q, k, v, mask, sm_scale, input_lengths)  # [B, S, nH, dh]
     attn_out = linear(attn.reshape(B, S, H), lp["proj_w"])
 
     if config.use_gptj_residual:
@@ -201,7 +202,9 @@ def prefill(
     cos_t, sin_t = make_rotary_tables(S, config.rotary_embedding_dim, config.rotary_base)
     mask = make_prefill_mask(input_lengths, S)
 
-    fn = lambda lp, x, c, l: block_prefill(config, lp, x, c, l, cos_t, sin_t, mask)
+    fn = lambda lp, x, c, l: block_prefill(
+        config, lp, x, c, l, cos_t, sin_t, mask, input_lengths
+    )
     x, cache = _scan_layers(config, params, x, cache, fn)
     return x, cache
 

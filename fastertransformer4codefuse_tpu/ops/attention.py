@@ -20,6 +20,54 @@ import jax.numpy as jnp
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# set by the engine: use the Pallas flash kernel for prefill when shapes allow
+_FLASH_PREFILL = False
+
+
+def set_flash_prefill(flag: bool) -> None:
+    global _FLASH_PREFILL
+    _FLASH_PREFILL = bool(flag)
+
+
+def _flash_ok(S: int, dh: int) -> bool:
+    # below ~2k the fused jnp path measures slightly faster on v5e (246 vs
+    # 269ms at S=1024 on 13B) and the S^2 scores tile still fits; flash wins
+    # on memory and bandwidth as S grows
+    return S >= 2048 and S % 128 == 0 and dh in (64, 128, 256)
+
+
+def prefill_attention_flash(
+    q: jax.Array,  # [B, S, nH, dh]
+    k: jax.Array,
+    v: jax.Array,
+    input_lengths: jax.Array,  # [B]
+    sm_scale: float,
+) -> jax.Array:
+    """Pallas flash-attention prefill (jax.experimental.pallas.ops.tpu).
+
+    The TPU replacement for the reference's TRT fused flash MHA cubins
+    (3rdparty/trt_fused_multihead_attention/): causal + right-padding
+    expressed as segment ids (pads get segment 2 and only attend each other —
+    their outputs are never read)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, S, nH, dh = q.shape
+    seg = jnp.where(
+        jnp.arange(S)[None, :] < input_lengths[:, None], 1, 2
+    ).astype(jnp.int32)
+    out = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=True,
+        sm_scale=sm_scale,
+        segment_ids=SegmentIds(seg, seg),
+    )
+    return out.transpose(0, 2, 1, 3)
+
 
 def prefill_attention(
     q: jax.Array,  # [B, S, nH, dh]
@@ -27,7 +75,14 @@ def prefill_attention(
     v: jax.Array,  # [B, S, nH, dh]
     mask: jax.Array,  # [B, S, S] bool, True = may attend (causal & padding)
     sm_scale: float,
+    input_lengths=None,  # enables the flash path when set and shapes allow
 ) -> jax.Array:
+    if (
+        _FLASH_PREFILL
+        and input_lengths is not None
+        and _flash_ok(q.shape[1], q.shape[3])
+    ):
+        return prefill_attention_flash(q, k, v, input_lengths, sm_scale)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
