@@ -1,0 +1,69 @@
+"""Model registry: the seam for additional decoder-only families.
+
+The reference repo carries 20+ model families behind the same layer/kernel
+stack (SURVEY §2.5 — gptj, multi_gpu_gpt, t5, bert...); only the GPT-NeoX
+slice serves CodeFuse. This registry keeps the same extension seam: a family
+contributes a config parser, a parameter converter, and the three model
+functions the engine drives (prefill / decode_step / lm_logits).
+
+GPT-NeoX covers the CodeFuse path; GPT-J and LLaMA-style families slot in by
+reusing the same block with different residual/rotary/norm settings.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFamily:
+    name: str
+    config_from_ini: Callable[[str], Any]
+    config_from_hf: Callable[[Any], Any]
+    params_from_hf: Callable[[Any, Any, Any], Any]
+    prefill: Callable
+    decode_step: Callable
+    lm_logits: Callable
+
+
+_REGISTRY: Dict[str, ModelFamily] = {}
+
+
+def register(family: ModelFamily) -> None:
+    _REGISTRY[family.name] = family
+
+
+def get(name: str) -> ModelFamily:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown model family {name!r}; registered: {sorted(_REGISTRY)}"
+        )
+
+
+def families() -> Dict[str, ModelFamily]:
+    return dict(_REGISTRY)
+
+
+def _register_builtin() -> None:
+    from ..core.config import GptNeoXConfig
+    from ..ckpt import convert
+    from . import gptneox
+
+    register(
+        ModelFamily(
+            name="gptneox",
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert.config_from_hf,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert.params_from_hf_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+
+
+_register_builtin()
