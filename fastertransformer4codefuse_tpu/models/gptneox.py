@@ -64,18 +64,24 @@ def _activation(config: GptNeoXConfig, x: jax.Array) -> jax.Array:
 
 
 def _layer_slice(layers: Dict[str, Any], l) -> Dict[str, Any]:
-    """Index the stacked layer axis (works for arrays and QuantizedTensors)."""
-    return {k: v[l] for k, v in layers.items()}
+    """Per-layer view: plain arrays are dynamically indexed (the slice fuses
+    into their consumers), QuantizedTensors stay STACKED — the Pallas kernels
+    index them internally via scalar prefetch, and slicing them here would
+    materialize a full weight copy per GEMM."""
+    return {
+        k: (v if isinstance(v, QuantizedTensor) else v[l])
+        for k, v in layers.items()
+    }
 
 
-def _qkv(config: GptNeoXConfig, lp, x, cos, sin):
+def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
     """ln1 -> fused QKV -> split heads -> rotary. x: [B, S, H].
 
     qkv_w's flat output axis is ordered (head, qkv, dh) — HF's native layout —
     so the per-head q/k/v split is a reshape, never a transpose."""
     B, S, _ = x.shape
     nH, dh = config.head_num, config.size_per_head
-    qkv = linear(x, lp["qkv_w"], lp["qkv_b"])  # [B, S, 3*nH*dh]
+    qkv = linear(x, lp["qkv_w"], lp["qkv_b"], layer=layer)  # [B, S, 3*nH*dh]
     qkv = qkv.reshape(B, S, nH, 3, dh)
     q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [B, S, nH, dh]
     rot = config.rotary_embedding_dim
@@ -84,10 +90,11 @@ def _qkv(config: GptNeoXConfig, lp, x, cos, sin):
     return q, k, v
 
 
-def _ffn(config: GptNeoXConfig, lp, x):
-    h = linear(x, lp["up_w"], lp["up_b"])
+def _ffn(config: GptNeoXConfig, lp, x, layer=None):
+    h = linear(x, lp["up_w"], lp["up_b"], layer=layer)
     h = _activation(config, h)
-    return linear(h, lp["down_w"])  # down bias applied by caller (residual fusion)
+    # down bias applied by caller (residual fusion)
+    return linear(h, lp["down_w"], layer=layer)
 
 
 def block_prefill(
@@ -105,23 +112,23 @@ def block_prefill(
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
 
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
-    q, k, v = _qkv(config, lp, ln1, cos, sin)
+    q, k, v = _qkv(config, lp, ln1, cos, sin, layer)
 
     cache = kvc.write_prefill(cache, layer, k, v)
 
     attn = prefill_attention(q, k, v, mask, sm_scale, input_lengths)  # [B, S, nH, dh]
-    attn_out = linear(attn.reshape(B, S, H), lp["proj_w"])
+    attn_out = linear(attn.reshape(B, S, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
         ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
-        ffn_out = _ffn(config, lp, ln2)
+        ffn_out = _ffn(config, lp, ln2, layer)
         # single fused residual: x + attn + ffn + summed bias
         # (= invokeAddBiasAttentionFfnResidual, add_residual_kernels.cu)
         out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
     else:
         h = x + attn_out + lp["proj_b"].astype(x.dtype)
         ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
-        out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
+        out = h + _ffn(config, lp, ln2, layer) + lp["down_b"].astype(x.dtype)
     return out, cache
 
 
@@ -141,40 +148,42 @@ def block_decode(
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
 
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
-    q, k, v = _qkv(config, lp, ln1, cos, sin)  # [B, 1, nH, dh]
+    q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, 1, nH, dh]
 
     cache = kvc.write_decode(cache, layer, k, v, positions)
 
     attn = kvc.attend_decode(cache, layer, q[:, 0], valid, sm_scale)  # [B, nH, dh]
-    attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"])
+    attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
         ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
-        ffn_out = _ffn(config, lp, ln2)
+        ffn_out = _ffn(config, lp, ln2, layer)
         out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
     else:
         h = x + attn_out + lp["proj_b"].astype(x.dtype)
         ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
-        out = h + _ffn(config, lp, ln2) + lp["down_b"].astype(x.dtype)
+        out = h + _ffn(config, lp, ln2, layer) + lp["down_b"].astype(x.dtype)
     return out, cache
 
 
 def _scan_layers(config, params, x, cache, per_layer_fn):
-    """Run the layer stack via lax.scan over stacked weights.
+    """Run the layer stack via lax.scan over the layer index.
 
-    The cache rides in the CARRY (updated in place at the layer index inside
-    the block) rather than as scan xs/ys — the xs/ys form re-assembles the
-    stacked slabs with a full copy every call."""
+    Both the cache and the weights stay OUT of scan xs/ys: the cache rides the
+    carry (in-place updates at the layer index), plain per-layer tensors are
+    dynamically indexed in the body (the slice fuses into consumers), and
+    quantized kernels stay stacked for the scalar-prefetch Pallas kernels.
+    The xs/ys form re-assembles stacked slabs with a full copy every call."""
     layers = params["layers"]
     L = config.layer_num
 
-    def body(carry, xs):
+    def body(carry, l):
         x, cache = carry
-        l, lp = xs
+        lp = _layer_slice(layers, l)
         y, cache = per_layer_fn(lp, x, cache, l)
         return (y, cache), None
 
-    (x, cache), _ = jax.lax.scan(body, (x, cache), (jnp.arange(L), layers))
+    (x, cache), _ = jax.lax.scan(body, (x, cache), jnp.arange(L))
     return x, cache
 
 

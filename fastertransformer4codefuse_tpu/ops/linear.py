@@ -79,7 +79,33 @@ def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
     return y.astype(x.dtype).reshape(out_shape)
 
 
-def quantized_matmul(x: jax.Array, w: QuantizedTensor) -> jax.Array:
+def quantized_matmul(
+    x: jax.Array, w: QuantizedTensor, layer: Optional[jax.Array] = None
+) -> jax.Array:
+    """Dispatch. ``layer`` set + stacked [L, K, N] weight selects the
+    scalar-prefetch Pallas kernels, which DMA tiles straight out of the
+    stacked HBM array — a dynamic layer slice cannot fuse into a Pallas
+    custom call and would materialize a full per-GEMM weight copy."""
+    stacked = layer is not None and w.q.ndim == 3
+    if stacked and _ON_TPU:
+        x2d = x.reshape(-1, x.shape[-1])
+        out_shape = x.shape[:-1] + w.q.shape[2:]
+        if w.bits == 4:
+            from .quant_matmul_w4 import quant_matmul_w4_pallas_stacked
+
+            y = quant_matmul_w4_pallas_stacked(
+                x2d, w.q, w.scale, layer, out_dtype=x.dtype
+            )
+            return y.reshape(out_shape)
+        if _USE_PALLAS:
+            from .quant_matmul import quant_matmul_pallas_stacked
+
+            y = quant_matmul_pallas_stacked(
+                x2d, w.q, w.scale, layer, out_dtype=x.dtype
+            )
+            return y.reshape(out_shape)
+    if stacked:
+        w = w[layer]
     # bits=4 on TPU always takes the Pallas kernel: measured 22ms/step vs
     # 35ms for the XLA bitcast double-contraction on 13B decode
     if w.bits == 4 and _ON_TPU:
@@ -106,15 +132,16 @@ def linear(
     w,
     b: Optional[jax.Array] = None,
     out_dtype=None,
+    layer: Optional[jax.Array] = None,
 ) -> jax.Array:
     """``y = x @ w + b`` with QuantizedTensor dispatch.
 
-    ``w`` may be a plain array ``[K, ...out]`` or a QuantizedTensor of the same
-    logical shape. ``x``'s last axis contracts with ``w``'s first axis; extra
-    trailing weight axes (the qkv [3, N] structure) become output axes.
+    ``w`` may be a plain array ``[K, ...out]``, a per-layer QuantizedTensor, or
+    (with ``layer`` set) a stacked ``[L, K, N]`` QuantizedTensor indexed inside
+    the Pallas kernel via scalar prefetch.
     """
     if isinstance(w, QuantizedTensor):
-        y = quantized_matmul(x, w)
+        y = quantized_matmul(x, w, layer=layer)
     else:
         out_shape = x.shape[:-1] + w.shape[1:]
         x2d = x.reshape(-1, x.shape[-1])

@@ -103,6 +103,79 @@ def quant_matmul_pallas(
     return out[:M, :N]
 
 
+def _kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[0].astype(x_ref.dtype)
+    acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        scale = s_ref[0].astype(jnp.float32)  # [1, bn]
+        o_ref[...] = (acc_ref[...] * scale).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
+def quant_matmul_pallas_stacked(
+    x: jax.Array,  # [M, K]
+    w_all: jax.Array,  # [L, K, N] int8 — whole stacked weight stays in HBM
+    s_all: jax.Array,  # [L, N] f32
+    layer: jax.Array,  # scalar int32, selected via scalar prefetch
+    out_dtype=None,
+    bm: int = 0,
+    bn: int = 1024,
+    bk: int = 1024,
+):
+    """Layer-indexed fused dequant matmul over the stacked per-layer weights.
+
+    XLA cannot fuse a dynamic layer slice into a Pallas custom call, so a
+    per-layer-slice operand materializes a full copy of the weight every call
+    (observed 50-70us per GEMM on 13B — the reason the sliced kernel lost to
+    the XLA composition). Scalar-prefetching the layer index instead makes the
+    kernel DMA its tiles straight from the stacked HBM array.
+    """
+    M, K = x.shape
+    L, K2, N = w_all.shape
+    assert K == K2 and s_all.shape == (L, N)
+    out_dtype = out_dtype or x.dtype
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    bn = min(bn, N)
+    bk = min(bk, K)
+    assert K % bk == 0 and N % bn == 0, "stacked path expects aligned dims"
+    xp = _pad_to(x, bm, 0)
+    Mp = xp.shape[0]
+    n_k = K // bk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // bm, N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l_ref: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked, n_k=n_k, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * 2 + K * N + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, w_all, s_all.reshape(L, 1, N))
+    return out[:M]
+
+
 def quant_matmul_reference(x, w, scale):
     """jnp reference for tests."""
     acc = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)

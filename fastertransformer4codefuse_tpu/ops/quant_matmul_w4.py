@@ -91,3 +91,72 @@ def quant_matmul_w4_pallas(
         ),
     )(xp, pp, sp)
     return out[:M, :N]
+
+
+def _kernel_stacked(l_ref, x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w4 = pltpu.bitcast(p_ref[0], jnp.int4)  # [bk, bn]
+    acc_ref[...] += jnp.dot(
+        x_ref[...], w4.astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * s_ref[0].astype(jnp.float32)).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
+def quant_matmul_w4_pallas_stacked(
+    x: jax.Array,  # [M, K]
+    packed_all: jax.Array,  # [L, K//2, N] int8
+    s_all: jax.Array,  # [L, N]
+    layer: jax.Array,
+    out_dtype=None,
+    bm: int = 0,
+    bn: int = 1024,
+    bk: int = 1024,
+):
+    """Layer-indexed W4 kernel over the stacked weights (see
+    quant_matmul.quant_matmul_pallas_stacked for why scalar-prefetch beats a
+    sliced operand)."""
+    M, K = x.shape
+    L, Kh, N = packed_all.shape
+    assert K == 2 * Kh and s_all.shape == (L, N)
+    out_dtype = out_dtype or x.dtype
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    bn = min(bn, N)
+    bk = min(bk, K)
+    assert K % bk == 0 and N % bn == 0
+    xp = _pad_to(x, bm, 0)
+    Mp = xp.shape[0]
+    n_k = K // bk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // bm, N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
+            pl.BlockSpec((1, bk // 2, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l_ref: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked, n_k=n_k, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, packed_all, s_all.reshape(L, 1, N))
+    return out[:M]
