@@ -40,6 +40,15 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
         o_ref[...] = (acc_ref[...] * scale).astype(out_dtype)
 
 
+def _largest_divisor_tile(dim: int, want: int, floor: int = 128) -> int:
+    """Largest multiple of `floor` that divides `dim` and is <= `want`."""
+    want = min(want, dim)
+    for cand in range(want - want % floor, floor - 1, -floor):
+        if dim % cand == 0:
+            return cand
+    return dim  # fall back to the whole dim (always divides)
+
+
 def _pad_to(x, mult, axis):
     rem = x.shape[axis] % mult
     if rem == 0:
@@ -125,7 +134,7 @@ def quant_matmul_pallas_stacked(
     layer: jax.Array,  # scalar int32, selected via scalar prefetch
     out_dtype=None,
     bm: int = 0,
-    bn: int = 1024,
+    bn: int = 2560,
     bk: int = 1024,
 ):
     """Layer-indexed fused dequant matmul over the stacked per-layer weights.
@@ -142,9 +151,8 @@ def quant_matmul_pallas_stacked(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    bn = min(bn, N)
-    bk = min(bk, K)
-    assert K % bk == 0 and N % bn == 0, "stacked path expects aligned dims"
+    bn = _largest_divisor_tile(N, bn)
+    bk = _largest_divisor_tile(K, bk)
     xp = _pad_to(x, bm, 0)
     Mp = xp.shape[0]
     n_k = K // bk
