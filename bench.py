@@ -23,7 +23,7 @@ import time
 import numpy as np
 
 
-def build(int8_mode, kv_dtype, seq_bucket, weight_bits=8):
+def build(int8_mode, kv_dtype, seq_bucket, weight_bits=8, group_size=0):
     import jax
 
     from fastertransformer4codefuse_tpu import (
@@ -34,7 +34,10 @@ def build(int8_mode, kv_dtype, seq_bucket, weight_bits=8):
     )
 
     cfg = GptNeoXConfig.codefuse_13b()
-    params = init_params(cfg, dtype="bf16", int8_mode=int8_mode, weight_bits=weight_bits)
+    params = init_params(
+        cfg, dtype="bf16", int8_mode=int8_mode, weight_bits=weight_bits,
+        group_size=group_size,
+    )
     jax.block_until_ready(params)
     eng = GptNeoXEngine(
         cfg,
@@ -63,17 +66,20 @@ def main():
     rng = np.random.default_rng(0)
     attempts = [
         # (name, int8_mode, weight_bits, kv_dtype, in, out, per-chip reference tok/s)
-        # headline: the framework's fastest quantized config (W4A16 weights via
-        # the stacked scalar-prefetch Pallas kernel + int8 KV); the reference's
-        # CUTLASS path also supports int4 but never shipped it for CodeFuse —
-        # vs_baseline still divides by their best per-chip INT8 number
-        ("codefuse13b-int4w-int8kv-1024in-512out", 2, 4, "int8", 1024, 512, 72.6),
-        ("codefuse13b-int8-1024in-512out", 2, 8, "int8", 1024, 512, 72.6),
-        ("codefuse13b-int8-64in-32out", 2, 8, None, 64, 32, 86.7),
+        # headline: W4A16 weights with GROUP-WISE (G=128, GPTQ-granularity)
+        # scales via the stacked scalar-prefetch Pallas kernel + int8 KV. The
+        # reference's CUTLASS path also supports int4 but never shipped it for
+        # CodeFuse — vs_baseline still divides by their best per-chip INT8
+        # number (quality harness: tools/quality_eval.py)
+        ("codefuse13b-int4w-g128-int8kv-1024in-512out", 2, 4, 128, "int8", 1024, 512, 72.6),
+        ("codefuse13b-int4w-int8kv-1024in-512out", 2, 4, 0, "int8", 1024, 512, 72.6),
+        ("codefuse13b-int8-1024in-512out", 2, 8, 0, "int8", 1024, 512, 72.6),
+        ("codefuse13b-int8-64in-32out", 2, 8, 0, None, 64, 32, 86.7),
     ]
-    for name, mode, bits, kv, in_len, out_len, ref in attempts:
+    for name, mode, bits, gs, kv, in_len, out_len, ref in attempts:
         try:
-            cfg, eng = build(mode, kv, 128 if in_len >= 128 else 64, weight_bits=bits)
+            cfg, eng = build(mode, kv, 128 if in_len >= 128 else 64,
+                             weight_bits=bits, group_size=gs)
             run_once(eng, in_len, out_len, rng)  # compile + warm
             dt = min(run_once(eng, in_len, out_len, rng) for _ in range(3))
             toks = out_len / dt

@@ -28,7 +28,9 @@ from ..core.config import GptNeoXConfig
 from ..models.params import Params, QuantizedTensor
 
 
-def quantize_array(w: jax.Array, k_axis: int = -2, bits: int = 8) -> QuantizedTensor:
+def quantize_array(
+    w: jax.Array, k_axis: int = -2, bits: int = 8, group_size: int = 0
+) -> QuantizedTensor:
     """Symmetric per-output-channel int8/int4 quantization.
 
     bits=8: ``scale[n] = max_k |w[k, n]| / 127``; ``q = round(w / scale)``.
@@ -41,27 +43,47 @@ def quantize_array(w: jax.Array, k_axis: int = -2, bits: int = 8) -> QuantizedTe
     w32 = jnp.asarray(w, jnp.float32)
     k_ax = k_axis % w32.ndim
     qmax = 127.0 if bits == 8 else 7.0
-    amax = jnp.max(jnp.abs(w32), axis=k_ax)
-    scale = jnp.where(amax > 0, amax / qmax, 1.0)
-    q = jnp.round(w32 / jnp.expand_dims(scale, k_ax))
+    if group_size:
+        # group-wise: scale per (K-group, out-channel) — the GPTQ/AWQ-style
+        # granularity that keeps int4 usable in production
+        K = w32.shape[k_ax]
+        assert K % group_size == 0
+        gshape = (
+            w32.shape[:k_ax] + (K // group_size, group_size) + w32.shape[k_ax + 1:]
+        )
+        wg = w32.reshape(gshape)
+        amax = jnp.max(jnp.abs(wg), axis=k_ax + 1)  # [..., K/G, ...]
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
+        q = jnp.round(wg / jnp.expand_dims(scale, k_ax + 1)).reshape(w32.shape)
+    else:
+        amax = jnp.max(jnp.abs(w32), axis=k_ax)
+        scale = jnp.where(amax > 0, amax / qmax, 1.0)
+        q = jnp.round(w32 / jnp.expand_dims(scale, k_ax))
     k_axis_rel = k_ax - w32.ndim
     if bits == 8:
         q = jnp.clip(q, -127, 127).astype(jnp.int8)
     else:
         q = jnp.clip(q, -8, 7).astype(jnp.int8)
         K = q.shape[k_ax]
+        if group_size:
+            assert group_size % 2 == 0
         assert K % 2 == 0, "int4 packing needs an even contraction dim"
         lo = jax.lax.slice_in_dim(q, 0, K, stride=2, axis=k_ax)
         hi = jax.lax.slice_in_dim(q, 1, K, stride=2, axis=k_ax)
         q = jnp.left_shift(hi, 4) | (lo & 0xF)
-    return QuantizedTensor(q=q, scale=scale, k_axis=k_axis_rel, bits=bits)
+    return QuantizedTensor(
+        q=q, scale=scale, k_axis=k_axis_rel, bits=bits, group_size=group_size
+    )
 
 
 _QUANT_KEYS = ("qkv_w", "proj_w", "up_w", "down_w")
 
 
 def quantize_params(
-    params: Params, include_embeddings: bool = False, weight_bits: int = 8
+    params: Params,
+    include_embeddings: bool = False,
+    weight_bits: int = 8,
+    group_size: int = 0,
 ) -> Params:
     """Quantize the four big per-layer kernels (embeddings and lm head stay in
     the float dtype by default, exactly the reference's coverage —
@@ -78,7 +100,9 @@ def quantize_params(
         w = layers[k]
         if isinstance(w, QuantizedTensor):
             continue
-        layers[k] = quantize_array(w, k_axis=-2, bits=weight_bits)
+        layers[k] = quantize_array(
+            w, k_axis=-2, bits=weight_bits, group_size=group_size
+        )
     out = dict(params)
     out["layers"] = layers
     if include_embeddings:

@@ -64,8 +64,10 @@ class QuantizedTensor:
     """
 
     q: jax.Array  # int8 container; for bits=4 the K axis is nibble-packed (K/2)
-    scale: jax.Array  # f32, logical shape with k_axis removed
+    scale: jax.Array  # f32; per-output-channel: logical shape minus the K axis.
+    # group-wise (group_size set): K axis replaced by K/group_size groups.
     k_axis: int = -2  # contraction axis of q, end-relative (static / aux data)
+    group_size: int = 0  # 0 = per-output-channel; G>0 = per-(K-group, channel)
     bits: int = 8  # 8 = one int8/elem; 4 = two int4 nibbles per int8 along K,
     # INTERLEAVED: logical row 2i sits in byte-row i's LOW nibble and row 2i+1
     # in its HIGH nibble — exactly the order Mosaic's int8->int4 bitcast
@@ -75,13 +77,13 @@ class QuantizedTensor:
     # widths (WeightOnlyQuantOps.cc int4 pack/unpack helpers).
 
     def tree_flatten(self):
-        return (self.q, self.scale), (self.k_axis, self.bits)
+        return (self.q, self.scale), (self.k_axis, self.bits, self.group_size)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, scale = children
-        k_axis, bits = aux
-        return cls(q=q, scale=scale, k_axis=k_axis, bits=bits)
+        k_axis, bits, group_size = aux
+        return cls(q=q, scale=scale, k_axis=k_axis, bits=bits, group_size=group_size)
 
     @property
     def shape(self):
@@ -110,7 +112,12 @@ class QuantizedTensor:
 
     def dequantize(self, dtype=jnp.float32):
         k_axis = self.k_axis % self.q.ndim
-        scale = jnp.expand_dims(self.scale, k_axis).astype(jnp.float32)
+        if self.group_size:
+            scale = jnp.repeat(
+                self.scale.astype(jnp.float32), self.group_size, axis=k_axis
+            )
+        else:
+            scale = jnp.expand_dims(self.scale, k_axis).astype(jnp.float32)
         return (self.unpack().astype(jnp.float32) * scale).astype(dtype)
 
     def __getitem__(self, idx):
@@ -121,7 +128,8 @@ class QuantizedTensor:
         """
         assert self.k_axis < 0, "k_axis must be end-relative (negative)"
         return QuantizedTensor(
-            q=self.q[idx], scale=self.scale[idx], k_axis=self.k_axis, bits=self.bits
+            q=self.q[idx], scale=self.scale[idx], k_axis=self.k_axis,
+            bits=self.bits, group_size=self.group_size,
         )
 
 
@@ -135,6 +143,7 @@ def init_params(
     std: float = 0.02,
     int8_mode: int = 0,
     weight_bits: int = 8,
+    group_size: int = 0,
 ) -> Params:
     """Random-init a full parameter pytree (tests / benchmarks).
 
@@ -158,11 +167,13 @@ def init_params(
     # instead of each living as a standalone device buffer — for 13B the
     # eager path's transients alone exceed a 16GB chip
     return jax.jit(
-        lambda key: _init_params_inner(config, key, dtype, std, int8_mode, weight_bits)
+        lambda key: _init_params_inner(
+            config, key, dtype, std, int8_mode, weight_bits, group_size
+        )
     )(rng)
 
 
-def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8):
+def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_size=0):
     L = config.layer_num
     H = config.hidden_size
     nH = config.head_num
@@ -188,12 +199,20 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8):
             if weight_bits == 4:
                 qshape[k_axis % len(shape)] //= 2  # nibble-packed container
             q = rand_i8(qkey, tuple(qshape))
-            scale_shape = tuple(s for i, s in enumerate(shape) if i != k_axis % len(shape))
+            k_ax = k_axis % len(shape)
+            if group_size:
+                scale_shape = list(shape)
+                scale_shape[k_ax] //= group_size
+                scale_shape = tuple(scale_shape)
+            else:
+                scale_shape = tuple(s for i, s in enumerate(shape) if i != k_ax)
             qmax = 127.0 if weight_bits == 8 else 7.0
             scale = (
                 jax.random.uniform(skey, scale_shape, jnp.float32, 0.5, 1.5) * std / qmax
             )
-            return QuantizedTensor(q=q, scale=scale, k_axis=k_axis, bits=weight_bits)
+            return QuantizedTensor(
+                q=q, scale=scale, k_axis=k_axis, bits=weight_bits, group_size=group_size
+            )
         return dense(key, shape)
 
     layers = {

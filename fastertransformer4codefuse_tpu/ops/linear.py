@@ -61,6 +61,14 @@ def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
     packing), and a single double-contraction dot over (K/2, 2) consumes it;
     the byte stream is read once.
     """
+    if w.group_size:
+        # group scales apply inside the contraction; generic fallback path
+        # dequantizes the (per-layer) weight and runs a plain dot
+        out_shape = x.shape[:-1] + w.q.shape[w.q.ndim - 1:]
+        x2d = x.reshape(-1, x.shape[-1])
+        wd = w.dequantize(x.dtype).reshape(x.shape[-1], -1)
+        acc = jnp.dot(x2d, wd, preferred_element_type=jnp.float32)
+        return acc.astype(x.dtype).reshape(out_shape)
     q2d, scale = _as_2d_weight(w)
     out_shape = x.shape[:-1] + w.q.shape[1:]
     x2d = x.reshape(-1, x.shape[-1])
@@ -90,6 +98,13 @@ def quantized_matmul(
     if stacked and _ON_TPU:
         x2d = x.reshape(-1, x.shape[-1])
         out_shape = x.shape[:-1] + w.q.shape[2:]
+        if w.bits == 4 and w.group_size:
+            from .quant_matmul_w4 import quant_matmul_w4_group_stacked
+
+            y = quant_matmul_w4_group_stacked(
+                x2d, w.q, w.scale, layer, G=w.group_size, out_dtype=x.dtype
+            )
+            return y.reshape(out_shape)
         if w.bits == 4:
             from .quant_matmul_w4 import quant_matmul_w4_pallas_stacked
 

@@ -168,3 +168,82 @@ def quant_matmul_w4_pallas_stacked(
         ),
     )(jnp.asarray(layer, jnp.int32).reshape(1), xp, packed_all, s_all.reshape(L, 1, N))
     return out[:M]
+
+
+def _kernel_stacked_group(l_ref, x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, G, out_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # one dot per K-group, scale applied on the [bm, bn] partial sum — the
+    # group scale is per (group, out-channel), so it commutes out of each
+    # group's contraction; multiplying the small partial sum is G x cheaper
+    # than scaling the [bk, bn] weight tile
+    w4 = pltpu.bitcast(p_ref[0], jnp.int4)  # [bk, bn]
+    bk = w4.shape[0]
+    for g in range(bk // G):
+        part = jnp.dot(
+            x_ref[:, g * G : (g + 1) * G],
+            w4[g * G : (g + 1) * G].astype(x_ref.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] += part * s_ref[0][g][None, :].astype(jnp.float32)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        o_ref[...] = acc_ref[...].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("G", "out_dtype", "bm", "bn", "bk"))
+def quant_matmul_w4_group_stacked(
+    x: jax.Array,  # [M, K]
+    packed_all: jax.Array,  # [L, K//2, N] int8
+    s_all: jax.Array,  # [L, K//G, N]
+    layer: jax.Array,
+    G: int,
+    out_dtype=None,
+    bm: int = 0,
+    bn: int = 2560,
+    bk: int = 1024,
+):
+    """Group-wise-scale W4 kernel: the scale applies inside the contraction,
+    so it folds into the weight tile on the VPU before the MXU pass (an
+    epilogue multiply would be wrong across K-groups)."""
+    M, K = x.shape
+    L, Kh, N = packed_all.shape
+    assert K == 2 * Kh and s_all.shape == (L, K // G, N)
+    out_dtype = out_dtype or x.dtype
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    bn = _largest_divisor_tile(N, bn)
+    bk = _largest_divisor_tile(K, bk)
+    assert bk % G == 0, f"k-tile {bk} must hold whole groups of {G}"
+    xp = _pad_to(x, bm, 0)
+    Mp = xp.shape[0]
+    n_k = K // bk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // bm, N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
+            pl.BlockSpec((1, bk // 2, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+            pl.BlockSpec((1, bk // G, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l_ref: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked_group, n_k=n_k, G=G, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * K,
+            bytes_accessed=Mp * K * 2 + K * N // 2 + K * N // G * 4 + Mp * N * 2,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, packed_all, s_all)
+    return out[:M]

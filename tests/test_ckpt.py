@@ -142,3 +142,32 @@ def test_int4_engine_runs():
     out = eng.generate([[5, 9, 13, 21]], output_len=4, top_k=1)
     assert (out.output_ids < cfg.vocab_size).all()
     assert out.sequence_lengths[0, 0] >= 5
+
+
+def test_int4_groupwise_quantize():
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(5)
+    w = rng.randn(128, 32).astype(np.float32)
+    qt = quantize_array(jnp.asarray(w), k_axis=-2, bits=4, group_size=32)
+    assert qt.q.shape == (64, 32)
+    assert qt.scale.shape == (4, 32)  # K/G groups
+    deq = np.asarray(qt.dequantize(jnp.float32))
+    # group-wise error strictly bounded by each group's scale/2
+    scale_full = np.repeat(np.asarray(qt.scale), 32, axis=0)
+    assert (np.abs(deq - w) <= scale_full * 0.5 + 1e-6).all()
+    # group-wise must reconstruct better than (or equal to) per-channel
+    qt_pc = quantize_array(jnp.asarray(w), k_axis=-2, bits=4)
+    err_g = np.abs(deq - w).mean()
+    err_pc = np.abs(np.asarray(qt_pc.dequantize(jnp.float32)) - w).mean()
+    assert err_g <= err_pc + 1e-6
+
+
+def test_int4_groupwise_engine_runs():
+    hf = make_hf()
+    cfg = config_from_hf(hf.config)
+    params = params_from_hf_state_dict(cfg, hf.state_dict(), dtype="fp32")
+    q4g = quantize_params(params, weight_bits=4, group_size=32)
+    eng = GptNeoXEngine(cfg, q4g, RuntimeConfig(dtype="fp32", int8_mode=1, seq_bucket=4))
+    out = eng.generate([[5, 9, 13, 21]], output_len=4, top_k=1)
+    assert (out.output_ids < cfg.vocab_size).all()
