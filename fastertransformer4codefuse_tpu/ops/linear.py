@@ -56,14 +56,13 @@ def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
     commutes out of the contraction; the convert feeds the MXU directly and the
     scale multiply fuses into the matmul epilogue.
 
-    bits=4: ``bitcast_convert_type(int8 -> int4)`` splits each byte into a
-    trailing [2] nibble axis (low nibble first — matching the interleaved
-    packing), and a single double-contraction dot over (K/2, 2) consumes it;
-    the byte stream is read once.
+    bits=4 (fallback — the Pallas kernels are the production path): the
+    nibble unpack runs as plain int8 shifts (backend-portable; TPU's
+    ``bitcast_convert_type(int4)`` had multi-minute compiles and its nibble
+    order is backend-defined).
     """
-    if w.group_size:
-        # group scales apply inside the contraction; generic fallback path
-        # dequantizes the (per-layer) weight and runs a plain dot
+    if w.group_size or w.bits == 4:
+        # generic fallback: dequantize the (per-layer) weight, plain dot
         out_shape = x.shape[:-1] + w.q.shape[w.q.ndim - 1:]
         x2d = x.reshape(-1, x.shape[-1])
         wd = w.dequantize(x.dtype).reshape(x.shape[-1], -1)
@@ -72,17 +71,7 @@ def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
     q2d, scale = _as_2d_weight(w)
     out_shape = x.shape[:-1] + w.q.shape[1:]
     x2d = x.reshape(-1, x.shape[-1])
-    if w.bits == 4:
-        w4 = jax.lax.bitcast_convert_type(q2d, jnp.int4)  # [K/2, N, 2]
-        x3 = x2d.reshape(x2d.shape[0], -1, 2)  # [M, K/2, 2]
-        acc = jax.lax.dot_general(
-            x3,
-            w4.astype(x.dtype),
-            dimension_numbers=(((1, 2), (0, 2)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        acc = jnp.dot(x2d, q2d.astype(x.dtype), preferred_element_type=jnp.float32)
+    acc = jnp.dot(x2d, q2d.astype(x.dtype), preferred_element_type=jnp.float32)
     y = acc * scale[None, :].astype(jnp.float32)
     return y.astype(x.dtype).reshape(out_shape)
 
