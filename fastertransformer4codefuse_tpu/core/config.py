@@ -186,6 +186,7 @@ class RuntimeConfig:
     seq_bucket: int = 128
     use_pallas: bool = False
     use_flash_prefill: bool = True
+    use_flash_decode: bool = True
     tensor_para_size: int = 1
     data_para_size: int = 1
     logits_dtype: str = "fp32"

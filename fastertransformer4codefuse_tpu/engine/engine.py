@@ -115,6 +115,9 @@ class GptNeoXEngine:
         set_use_pallas(self.runtime.use_pallas and backend == "tpu")
         set_on_tpu(backend == "tpu")
         set_flash_prefill(self.runtime.use_flash_prefill and backend == "tpu")
+        from .kv_cache import set_flash_decode
+
+        set_flash_decode(self.runtime.use_flash_decode and backend == "tpu")
         if mesh is not None:
             from ..parallel.sharding import shard_params
 

@@ -126,9 +126,22 @@ def write_decode(
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+# engine-set: route int8-cache decode attention through the Pallas kernel
+_FLASH_DECODE = False
+
+
+def set_flash_decode(flag: bool) -> None:
+    global _FLASH_DECODE
+    _FLASH_DECODE = bool(flag)
+
 
 def attend_decode(
-    cache: Cache, layer, q: jax.Array, valid: jax.Array, sm_scale: float
+    cache: Cache,
+    layer,
+    q: jax.Array,
+    valid: jax.Array,
+    sm_scale: float,
+    positions=None,
 ) -> jax.Array:
     """Single-token attention over layer ``layer`` of the cache.
 
@@ -137,6 +150,23 @@ def attend_decode(
       scores = (q . k8) * k_s;   out = sum_s p_s*v_s = (p * v_s) @ v8.
     The layer dynamic-slice fuses into the contractions (read-only).
     """
+    S = cache["k"].shape[3]
+    dh = cache["k"].shape[4]
+    if (
+        _FLASH_DECODE
+        and quantized(cache)
+        and positions is not None
+        and dh in (128, 256)
+        and S % 128 == 0
+        and S <= 4096
+    ):
+        from ..ops.flash_decode import flash_decode_stacked
+
+        return flash_decode_stacked(
+            q, cache["k"], cache["k_s"], cache["v"], cache["v_s"],
+            layer, positions, sm_scale=sm_scale,
+        )
+
     cache_l = {
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
         for k, v in cache.items()

@@ -152,7 +152,7 @@ def block_decode(
 
     cache = kvc.write_decode(cache, layer, k, v, positions)
 
-    attn = kvc.attend_decode(cache, layer, q[:, 0], valid, sm_scale)  # [B, nH, dh]
+    attn = kvc.attend_decode(cache, layer, q[:, 0], valid, sm_scale, positions)  # [B, nH, dh]
     attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
