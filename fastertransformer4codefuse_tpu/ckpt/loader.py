@@ -84,6 +84,8 @@ def load_bin_checkpoint(
     config: Optional[GptNeoXConfig] = None,
     dtype="fp32",
     int8_mode: int = 0,
+    weight_bits: int = 8,
+    group_size: int = 0,
     num_threads: int = 16,
 ) -> tuple:
     """Load a reference-format checkpoint dir. Returns (config, params)."""
@@ -152,7 +154,57 @@ def load_bin_checkpoint(
             lambda i: read(f"model.layers.{i}.attention.dense.bias.bin", (H,)) * tp
         )
 
-    if int8_mode == 1:
+    if int8_mode == 1 and weight_bits == 4:
+        # int4 disk format (.q4.bin nibble-packed + .s4[gN].bin scales):
+        # TP=1 only for direct load; re-quantize-merge for TP>1 would go
+        # through the fp files instead
+        assert tp == 1, "int4 .bin loading supports tp=1 dirs; merge via fp files"
+        from ..models.params import QuantizedTensor
+
+        ssuffix = f"s4g{group_size}" if group_size else "s4"
+
+        def load_q4(base_fmt, kdim, final_shape, final_s_shape, reorder=None):
+            qs, ss = [], []
+            for i in range(L):
+                base = base_fmt.format(i)
+                q = _view(os.path.join(ckpt_path, base + ".0.q4.bin"), np.int8)
+                sc = _view(os.path.join(ckpt_path, base + f".0.{ssuffix}.bin"), wdt)
+                q = q.reshape(kdim // 2, -1)
+                if reorder is not None:
+                    # FT's fused-QKV column order -> engine order; the column
+                    # permutation commutes with the K-axis nibble packing
+                    q = reorder(q.reshape(kdim // 2, 3, -1))
+                    sc = reorder(sc.reshape(final_s_shape[:-1] + (3, -1)))
+                qs.append(q.reshape(kdim // 2, -1))
+                ss.append(sc.reshape(final_s_shape))
+            packed_shape = (final_shape[0] // 2,) + final_shape[1:]
+            return QuantizedTensor(
+                q=jnp.asarray(np.stack(qs)).reshape((L,) + packed_shape),
+                scale=jnp.asarray(np.stack(ss), jnp.float32),
+                k_axis=-2,
+                bits=4,
+                group_size=group_size,
+            )
+
+        def s_shape(K, N):
+            return (K // group_size, N) if group_size else (N,)
+
+        layers["qkv_w"] = load_q4(
+            "model.layers.{}.attention.query_key_value.weight", H,
+            (H, 3 * nH * dh), s_shape(H, 3 * nH * dh),
+            reorder=lambda a: _ft_qkv_to_engine(a, nH),
+        )
+        layers["proj_w"] = load_q4(
+            "model.layers.{}.attention.dense.weight", nH * dh,
+            (nH * dh, H), s_shape(nH * dh, H),
+        )
+        layers["up_w"] = load_q4(
+            "model.layers.{}.mlp.dense_h_to_4h.weight", H, (H, I), s_shape(H, I)
+        )
+        layers["down_w"] = load_q4(
+            "model.layers.{}.mlp.dense_4h_to_h.weight", I, (I, H), s_shape(I, H)
+        )
+    elif int8_mode == 1:
         from ..models.params import QuantizedTensor
         from .quantize import quantize_array
 

@@ -134,10 +134,13 @@ def quant_and_save(
         "mlp.dense_h_to_4h.weight",
         "mlp.dense_4h_to_h.weight",
     ),
+    weight_bits: int = 8,
+    group_size: int = 0,
 ) -> None:
-    """For every per-layer / per-rank fp kernel file write ``<name>.q.bin``
-    (plain row-major int8) and ``<name>.s.bin`` (per-output-channel scales in
-    the checkpoint's weight dtype)."""
+    """For every per-layer / per-rank fp kernel file write quantized payload +
+    scale files next to it: ``.q.bin``/``.s.bin`` for int8 (plain row-major),
+    ``.q4.bin``/``.s4.bin`` for nibble-packed int4 (optionally group-wise —
+    group_size recorded in the filename as ``.s4gN.bin``)."""
     if config is None:
         config = GptNeoXConfig.from_ini(ckpt_path)
     wdt = np.float16 if config.weight_data_type == "fp16" else np.float32
@@ -162,6 +165,15 @@ def quant_and_save(
                     "mlp.dense_4h_to_h.weight": flat.size // H,
                 }[name]
                 w = flat.reshape(k_dim, -1)
-                qt = quantize_array(jnp.asarray(w), k_axis=-2)
-                np.asarray(qt.q).tofile(path[:-4] + ".q.bin")
-                np.asarray(qt.scale).astype(wdt).tofile(path[:-4] + ".s.bin")
+                qt = quantize_array(
+                    jnp.asarray(w), k_axis=-2, bits=weight_bits, group_size=group_size
+                )
+                if weight_bits == 8:
+                    np.asarray(qt.q).tofile(path[:-4] + ".q.bin")
+                    np.asarray(qt.scale).astype(wdt).tofile(path[:-4] + ".s.bin")
+                else:
+                    suffix = f"g{group_size}" if group_size else ""
+                    np.asarray(qt.q).tofile(path[:-4] + ".q4.bin")
+                    np.asarray(qt.scale).astype(wdt).tofile(
+                        path[:-4] + f".s4{suffix}.bin"
+                    )

@@ -171,3 +171,20 @@ def test_int4_groupwise_engine_runs():
     eng = GptNeoXEngine(cfg, q4g, RuntimeConfig(dtype="fp32", int8_mode=1, seq_bucket=4))
     out = eng.generate([[5, 9, 13, 21]], output_len=4, top_k=1)
     assert (out.output_ids < cfg.vocab_size).all()
+
+
+def test_int4_bin_roundtrip(tmp_path):
+    hf = make_hf()
+    ckpt = str(tmp_path / "1-gpu")
+    convert_hf_to_bin(hf, ckpt, infer_tp=1, weight_data_type="fp32")
+    quant_and_save(ckpt, weight_bits=4, group_size=32)
+    cfg, params_fp = load_bin_checkpoint(ckpt, dtype="fp32")
+    _, params_q4 = load_bin_checkpoint(
+        ckpt, dtype="fp32", int8_mode=1, weight_bits=4, group_size=32
+    )
+    mem_q4 = quantize_params(params_fp, weight_bits=4, group_size=32)
+    for k in ("qkv_w", "proj_w", "up_w", "down_w"):
+        a, b = params_q4["layers"][k], mem_q4["layers"][k]
+        assert a.bits == 4 and a.group_size == 32
+        np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
+        np.testing.assert_allclose(np.asarray(a.scale), np.asarray(b.scale), rtol=1e-6)
