@@ -36,7 +36,11 @@ from ..core.dtypes import jnp_dtype
 from ..models import gptneox as model
 from ..models.params import Params
 from ..sampling import processors as proc
-from ..sampling.sample import sample_greedy, sample_top_k_top_p
+from ..sampling.sample import (
+    sample_greedy,
+    sample_top_k_top_p,
+    sample_top_k_top_p_capped,
+)
 from ..ops.attention import set_flash_prefill
 from ..ops.linear import set_on_tpu, set_use_pallas
 
@@ -69,6 +73,7 @@ class _Statics:
     use_stop_words: bool
     use_bad_words: bool
     use_optional_last: bool
+    sampling_cap: int  # 0 = full-sort sampling; >0 = lax.top_k(cap) fast path
     stop_words_len: int
     bad_words_len: int
     optional_last_count: int
@@ -171,7 +176,15 @@ class GptNeoXEngine:
             res = sample_greedy(logits)
         else:
             rngs = jax.vmap(jax.random.fold_in)(s.base_keys, jnp.full((B,), s.gen_step))
-            res = sample_top_k_top_p(rngs, logits, inputs["top_k"], inputs["top_p"])
+            if st.sampling_cap:
+                res = sample_top_k_top_p_capped(
+                    rngs, logits, inputs["top_k"], inputs["top_p"],
+                    cap=st.sampling_cap,
+                )
+            else:
+                res = sample_top_k_top_p(
+                    rngs, logits, inputs["top_k"], inputs["top_p"]
+                )
 
         tok = jnp.where(s.finished, end_id, res.tokens)
         lp = jnp.where(s.finished, 0.0, res.log_probs)
@@ -347,6 +360,11 @@ class GptNeoXEngine:
             random_seed = per_sample(random_seed, 0, np.uint32)
 
         greedy = bool((top_k == 1).all() and (top_p <= 0.0).all())
+        # capped fast path when every row top-k's within a small static bound
+        if (top_k > 0).all() and int(top_k.max()) <= 128:
+            sampling_cap = max(64, 1 << int(top_k.max() - 1).bit_length())
+        else:
+            sampling_cap = 0
 
         def words_arr(w, pad_mult=4):
             if w is None:
@@ -380,6 +398,7 @@ class GptNeoXEngine:
             use_stop_words=stop_words_list is not None,
             use_bad_words=bad_words_list is not None,
             use_optional_last=optional_last_tokens is not None,
+            sampling_cap=sampling_cap,
             stop_words_len=Lsw,
             bad_words_len=Lbw,
             optional_last_count=C,

@@ -81,6 +81,39 @@ def sample_top_k_top_p(
     return SampleResult(tokens=tokens, log_probs=chosen_lp)
 
 
+def sample_top_k_top_p_capped(
+    rngs: jax.Array,
+    logits: jax.Array,  # [BB, V] fp32, processed
+    top_k: jax.Array,  # [BB] int32, all in (0, cap]
+    top_p: jax.Array,  # [BB] f32, 0 = disabled
+    cap: int = 128,
+) -> SampleResult:
+    """Fast path when every row's top_k is in (0, cap]: one lax.top_k over the
+    vocab instead of a full sort (the reference similarly caps top-k at 64,
+    TopKSamplingLayer MAX_K). Semantics identical to sample_top_k_top_p for
+    k <= cap."""
+    BB, V = logits.shape
+    vals, idxs = jax.lax.top_k(logits, cap)  # [BB, cap] descending
+    ranks = jnp.arange(cap)[None, :]
+    kept = jnp.where(ranks < top_k[:, None], vals, NEG_INF)
+    probs = jax.nn.softmax(kept, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_p = (cum - probs) < top_p[:, None]
+    keep_p = keep_p.at[:, 0].set(True)
+    keep_p = jnp.where(top_p[:, None] > 0.0, keep_p, True)
+    masked = jnp.where(keep_p, kept, NEG_INF)
+
+    gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (cap,), jnp.float32))(rngs)
+    pick = jnp.argmax(masked + gumbel, axis=-1)
+    tokens = jnp.take_along_axis(idxs, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    # cum_log_probs under the FULL distribution (reference semantics) — a
+    # logsumexp reduce, no sort needed
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    chosen = jnp.take_along_axis(vals, pick[:, None], axis=-1)[:, 0]
+    return SampleResult(tokens=tokens, log_probs=chosen - lse)
+
+
 def sample_greedy(logits: jax.Array) -> SampleResult:
     """argmax fast path: no vocab sort, no RNG. Used when the host knows every
     sample in the batch is greedy (top_k==1, top_p==0)."""
