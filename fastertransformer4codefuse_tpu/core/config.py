@@ -37,6 +37,7 @@ class GptNeoXConfig:
     layernorm_eps: float = 1e-5
     rotary_base: float = 10000.0
     activation: str = "gelu"  # "gelu" (exact, HF default) | "gelu-tanh" (FT's kernel) | "relu" | "silu"
+    rotary_style: str = "neox"  # "neox" half-split | "gptj" interleaved pairs
     model_name: str = "gptneox"
     weight_data_type: str = "fp32"
 

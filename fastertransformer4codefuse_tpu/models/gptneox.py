@@ -85,8 +85,8 @@ def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
     qkv = qkv.reshape(B, S, nH, 3, dh)
     q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [B, S, nH, dh]
     rot = config.rotary_embedding_dim
-    q = apply_rotary(q, cos, sin, rot)
-    k = apply_rotary(k, cos, sin, rot)
+    q = apply_rotary(q, cos, sin, rot, config.rotary_style)
+    k = apply_rotary(k, cos, sin, rot, config.rotary_style)
     return q, k, v
 
 
@@ -273,6 +273,8 @@ def lm_logits(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.A
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    if "lm_head_b" in params:  # GPT-J's LM head carries a bias
+        logits = logits + params["lm_head_b"].astype(jnp.float32)[None, :]
     return logits.reshape(h.shape[:-1] + (config.vocab_size,))
 
 

@@ -48,7 +48,7 @@ def families() -> Dict[str, ModelFamily]:
 
 def _register_builtin() -> None:
     from ..core.config import GptNeoXConfig
-    from ..ckpt import convert
+    from ..ckpt import convert, convert_gptj
     from . import gptneox
 
     register(
@@ -57,6 +57,19 @@ def _register_builtin() -> None:
             config_from_ini=GptNeoXConfig.from_ini,
             config_from_hf=convert.config_from_hf,
             params_from_hf=lambda cfg, sd, dtype="fp32": convert.params_from_hf_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+    register(
+        ModelFamily(
+            name="gptj",
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert_gptj.config_from_hf_gptj,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert_gptj.params_from_hf_gptj_state_dict(
                 cfg, sd, dtype
             ),
             prefill=gptneox.prefill,

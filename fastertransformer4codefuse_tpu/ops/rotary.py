@@ -30,8 +30,13 @@ def apply_rotary(
     cos: jax.Array,  # [seq, rotary_dim//2] (already gathered at positions)
     sin: jax.Array,
     rotary_dim: int,
+    style: str = "neox",
 ) -> jax.Array:
-    """Rotate the first ``rotary_dim`` features of each head, NeoX half-split style.
+    """Rotate the first ``rotary_dim`` features of each head.
+
+    style="neox": half-split pairs (i, i+rot/2) — GPT-NeoX / the reference's
+    neox_rotary_style. style="gptj": interleaved pairs (2i, 2i+1) —
+    rotate_every_two, used by GPT-J (the reference's gptj model family).
 
     ``cos``/``sin`` must broadcast against ``x[..., :half]`` after inserting the
     head axis: for x ``[B, S, nH, dh]`` pass cos ``[S, half]`` (broadcast as
@@ -42,14 +47,21 @@ def apply_rotary(
     half = rotary_dim // 2
     x_rot = x[..., :rotary_dim].astype(jnp.float32)
     x_pass = x[..., rotary_dim:]
-    x1 = x_rot[..., :half]
-    x2 = x_rot[..., half:]
-    # broadcast cos/sin over the head axis: [..., S, half] -> [..., S, 1, half]
     c = jnp.expand_dims(cos, -2)
     s = jnp.expand_dims(sin, -2)
-    r1 = x1 * c - x2 * s
-    r2 = x2 * c + x1 * s
-    rotated = jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
+    if style == "gptj":
+        pairs = x_rot.reshape(x_rot.shape[:-1] + (half, 2))
+        x1 = pairs[..., 0]
+        x2 = pairs[..., 1]
+        r1 = x1 * c - x2 * s
+        r2 = x2 * c + x1 * s
+        rotated = jnp.stack([r1, r2], axis=-1).reshape(x_rot.shape).astype(x.dtype)
+    else:
+        x1 = x_rot[..., :half]
+        x2 = x_rot[..., half:]
+        r1 = x1 * c - x2 * s
+        r2 = x2 * c + x1 * s
+        rotated = jnp.concatenate([r1, r2], axis=-1).astype(x.dtype)
     if rotary_dim == x.shape[-1]:
         return rotated
     return jnp.concatenate([rotated, x_pass], axis=-1)
