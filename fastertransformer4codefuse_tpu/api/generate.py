@@ -9,7 +9,7 @@ engine, strip padding / trailing garbage, and return
 from __future__ import annotations
 
 import time
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 

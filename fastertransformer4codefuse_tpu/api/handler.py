@@ -12,7 +12,7 @@ import json
 import logging
 import random
 import traceback
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 from .detok import TokenStreamDecoder
 from .generate import generate, init_engine_and_tokenizer

@@ -11,7 +11,7 @@ strings) with the same observable behavior.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 
 class _Node:

@@ -19,7 +19,7 @@ the reference's on-disk .bin format.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, Mapping, Optional
+from typing import Any, Mapping
 
 import numpy as np
 

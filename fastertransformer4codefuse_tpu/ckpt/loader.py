@@ -36,7 +36,7 @@ def _ft_qkv_to_engine(w: np.ndarray, nH: int) -> np.ndarray:
 
 from ..core.config import GptNeoXConfig
 from ..core.dtypes import jnp_dtype
-from ..models.params import Params, QuantizedTensor
+from ..models.params import QuantizedTensor
 
 
 def _rank_files(ckpt: str, base: str) -> list:

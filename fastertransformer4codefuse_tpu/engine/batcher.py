@@ -22,16 +22,15 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import GptNeoXConfig
 from ..models import gptneox as model
 from ..sampling import processors as proc
-from ..sampling.sample import sample_greedy, sample_top_k_top_p
+from ..sampling.sample import sample_top_k_top_p
 from .engine import GptNeoXEngine
 
 

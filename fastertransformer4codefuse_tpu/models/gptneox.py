@@ -20,7 +20,6 @@ structs but with a single compiled program.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -28,7 +27,6 @@ import jax.numpy as jnp
 
 from ..core.config import GptNeoXConfig
 from ..ops.attention import (
-    decode_attention,
     make_decode_valid,
     make_prefill_mask,
     prefill_attention,

@@ -12,7 +12,7 @@ reusing the same block with different residual/rotary/norm settings.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 
 @dataclasses.dataclass(frozen=True)

@@ -9,7 +9,6 @@ collectives on ICI within hosts / DCN across them automatically.
 """
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

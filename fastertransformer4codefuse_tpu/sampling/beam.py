@@ -20,8 +20,6 @@ reference's invokeTileGptInputs (GptNeoX.cc:590-597).
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Optional
 
 _LEVELS = {
     "TRACE": logging.DEBUG,

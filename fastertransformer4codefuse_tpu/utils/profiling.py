@@ -14,7 +14,7 @@ import glob
 import gzip
 import json
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 
