@@ -53,9 +53,6 @@ def beam_search_generate(
     cfg = engine.config
     end_id = cfg.end_id
 
-    if callback is not None:
-        raise NotImplementedError("streaming callbacks with beam_width > 1 land later")
-
     # tile prompts beam-minor: rows [b*bw + j]
     tiled = [list(ids) for ids in input_ids for _ in range(bw)]
     # beam search ignores top_k/top_p (like the reference's DynamicDecodeLayer
@@ -84,15 +81,36 @@ def beam_search_generate(
     inputs["diversity_rate"] = tile_param(beam_search_diversity_rate, 0.0)
     inputs["len_penalty"] = tile_param(len_penalty, 0.0)
 
-    key = (st, bw)
-    fn = engine._beam_cache.get(key) if hasattr(engine, "_beam_cache") else None
+    key = (st, bw, callback is not None)
     if not hasattr(engine, "_beam_cache"):
         engine._beam_cache = {}
+    fn = engine._beam_cache.get(key)
     if fn is None:
-        fn = _build_beam_fn(engine, st, bw)
+        fn = _build_beam_fn(engine, st, bw, stepwise=callback is not None)
         engine._beam_cache[key] = fn
 
-    tokens, seq_lens, cum_lp = jax.device_get(fn(engine.params, inputs))
+    if callback is None:
+        tokens, seq_lens, cum_lp = jax.device_get(fn(engine.params, inputs))
+    else:
+        # stepwise streaming: the callback receives every beam's newest token
+        # per step ({last_tokens: [[tok]*bw]*B, idxs: ...}), like the
+        # reference's per-step pybind callback with beam_width > 1
+        prefill_fn, step_fn, final_fn, finish_fn = fn
+        s = prefill_fn(engine.params, inputs)
+        for i in range(st.output_len):
+            s = (final_fn if i == st.output_len - 1 else step_fn)(
+                engine.params, inputs, s
+            )
+            newest, lens_d, fin = jax.device_get((s.newest, s.seq_lens, s.finished))
+            callback(
+                {
+                    "last_tokens": newest.reshape(B, bw).tolist(),
+                    "idxs": lens_d.reshape(B, bw).tolist(),
+                }
+            )
+            if fin.all():
+                break
+        tokens, seq_lens, cum_lp = jax.device_get(finish_fn(inputs, s))
 
     return GenerationOutput(
         output_ids=tokens.reshape(B, bw, -1),
@@ -101,7 +119,7 @@ def beam_search_generate(
     )
 
 
-def _build_beam_fn(engine, st, bw: int):
+def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
     cfg = engine.config
     end_id = cfg.end_id
     B = st.batch // bw
@@ -199,14 +217,42 @@ def _build_beam_fn(engine, st, bw: int):
             newest=tok,
         )
 
-    def run(params, inputs):
+    def beam_prefill(params, inputs):
         s = engine._prefill_state(st, params, inputs)
         # step 0: only beam 0 of each batch proposes (classic init trick —
         # otherwise all beams pick identical tokens)
         beam_idx = jnp.arange(st.batch) % bw
-        s = s._replace(
+        return s._replace(
             cum_log_probs=jnp.where(beam_idx == 0, 0.0, NEG_INF).astype(jnp.float32)
         )
+
+    def sort_outputs(inputs, s):
+        # sort beams per batch by length-penalized score, best first
+        lp_factor = _length_penalty_factor(
+            s.seq_lens - inputs["input_lengths"], inputs["len_penalty"]
+        )
+        score = (s.cum_log_probs / lp_factor).reshape(B, bw)
+        order = jnp.argsort(-score, axis=1)  # [B, bw]
+        src = (jnp.arange(B)[:, None] * bw + order).reshape(-1)
+        tokens = jnp.take(s.tokens, src, axis=0)
+        seq_lens = jnp.take(s.seq_lens, src, axis=0)
+        cum = jnp.take(s.cum_log_probs, src, axis=0)
+        return tokens, seq_lens, cum
+
+    if stepwise:
+        def step(params, inputs, s):
+            s = beam_advance(params, inputs, s)
+            return engine._forward_newest(st, params, s)
+
+        return (
+            jax.jit(beam_prefill),
+            jax.jit(step, donate_argnums=(2,)),
+            jax.jit(beam_advance, donate_argnums=(2,)),
+            jax.jit(sort_outputs),
+        )
+
+    def run(params, inputs):
+        s = beam_prefill(params, inputs)
 
         def cond(s):
             return jnp.logical_and(
@@ -219,18 +265,6 @@ def _build_beam_fn(engine, st, bw: int):
 
         s = jax.lax.while_loop(cond, body, s)
         s = beam_advance(params, inputs, s)
-
-        # restore true cumulative scores (beam-0 init masking leaves real values)
-        # and sort beams per batch by length-penalized score, best first
-        lp_factor = _length_penalty_factor(
-            s.seq_lens - inputs["input_lengths"], inputs["len_penalty"]
-        )
-        score = (s.cum_log_probs / lp_factor).reshape(B, bw)
-        order = jnp.argsort(-score, axis=1)  # [B, bw]
-        src = (jnp.arange(B)[:, None] * bw + order).reshape(-1)
-        tokens = jnp.take(s.tokens, src, axis=0)
-        seq_lens = jnp.take(s.seq_lens, src, axis=0)
-        cum = jnp.take(s.cum_log_probs, src, axis=0)
-        return tokens, seq_lens, cum
+        return sort_outputs(inputs, s)
 
     return jax.jit(run)

@@ -66,3 +66,19 @@ def test_beam_stop_words():
     for j in range(2):
         if toks[j, 3] == first_tok:
             assert lens[j] == 4
+
+
+def test_beam_streaming_matches_batch():
+    cfg, eng = make_engine(seed=4)
+    prompts = [[3, 4, 5, 6]]
+    batch = eng.generate(prompts, output_len=5, beam_width=2)
+    events = []
+    stream = eng.generate(
+        prompts, output_len=5, beam_width=2,
+        callback=lambda m: events.append(m),
+    )
+    assert len(events) >= 1
+    assert all(len(e["last_tokens"][0]) == 2 for e in events)
+    # final outputs identical between modes
+    np.testing.assert_array_equal(batch.output_ids, stream.output_ids)
+    np.testing.assert_array_equal(batch.sequence_lengths, stream.sequence_lengths)
