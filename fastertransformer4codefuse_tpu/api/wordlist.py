@@ -1,31 +1,41 @@
-"""Stop/bad-words encoding: [[str]] -> [batch, 2, L] flat-ids + cumulative
-offsets, the reference's to_word_list_format (codefuse_example.py:26-53)."""
+"""Stop/bad-words encoding.
+
+On-disk/wire format parity target: the ``[batch, 2, L]`` tensor consumed by
+the stop-words / ban-bad-words criteria — row 0 holds each batch item's word
+token ids back to back, row 1 the cumulative end offset of every word, padded
+with -1 (format defined by the reference serving protocol,
+/root/reference/examples/pytorch/codefuse/codefuse_example.py:26-53, and the
+kernels that read it, stop_criteria_kernels.cu / ban_bad_words.cu).
+
+The implementation here is the repo's own: tokenize once into per-item
+(flat ids, word lengths) pairs, then assemble the padded [B, 2, L] array in a
+single pass.
+"""
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
 
 def to_word_list_format(words_list: Sequence[Sequence[str]], tokenizer) -> np.ndarray:
-    flat_ids = []
-    offsets = []
-    for words in words_list:
-        item_flat: List[int] = []
-        item_offs: List[int] = []
-        for word in words or []:
-            ids = tokenizer.encode(word)
-            if len(ids) == 0:
-                continue
-            item_flat += list(ids)
-            item_offs.append(len(ids))
-        flat_ids.append(np.array(item_flat, np.int64))
-        offsets.append(np.cumsum(np.array(item_offs, np.int64)))
+    """Encode per-batch word lists into the [B, 2, L] flat-ids+offsets format.
 
-    pad_to = max(1, max((len(ids) for ids in flat_ids), default=1))
-    for i, (ids, offs) in enumerate(zip(flat_ids, offsets)):
-        flat_ids[i] = np.pad(ids, (0, pad_to - len(ids)), constant_values=0)
-        offsets[i] = np.pad(offs, (0, pad_to - len(offs)), constant_values=-1)
-    return (
-        np.array([flat_ids, offsets], dtype="int32").transpose((1, 0, 2)).copy()
-    )
+    Empty encodings are dropped; L is the longest flat id run across the
+    batch (minimum 1 so the array is never zero-width).
+    """
+    encoded = [
+        [ids for w in (words or []) if len(ids := tokenizer.encode(w)) > 0]
+        for words in words_list
+    ]
+    width = max([1] + [sum(map(len, item)) for item in encoded])
+
+    out = np.full((len(encoded), 2, width), -1, np.int32)
+    out[:, 0, :] = 0  # id row padding (never read past the last offset)
+    for b, item in enumerate(encoded):
+        pos = 0
+        for n, ids in enumerate(item):
+            out[b, 0, pos : pos + len(ids)] = ids
+            pos += len(ids)
+            out[b, 1, n] = pos
+    return out

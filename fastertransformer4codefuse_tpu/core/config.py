@@ -82,6 +82,8 @@ class GptNeoXConfig:
             weight_data_type=sec.get("weight_data_type", "fp32"),
             layernorm_eps=float(sec.get("layernorm_eps", "1e-5")),
             rotary_base=float(sec.get("rotary_base", "10000.0")),
+            rotary_style=sec.get("rotary_style", "neox"),
+            activation=sec.get("activation", "gelu"),
         )
 
     def to_ini(self, path: str, section: str = "gptneox") -> None:
@@ -101,6 +103,21 @@ class GptNeoXConfig:
             "use_gptj_residual": "1" if self.use_gptj_residual else "0",
             "weight_data_type": self.weight_data_type,
         }
+        # Non-default architecture knobs are persisted so from_ini round-trips
+        # exactly (a GPT-J config must come back with rotary_style="gptj", not
+        # the neox default). Written only when non-default so a config.ini for
+        # a reference-converted GPT-NeoX checkpoint stays byte-identical to
+        # what huggingface_convert.py:107-122 emits.
+        defaults = {
+            "rotary_style": "neox",
+            "activation": "gelu",
+            "layernorm_eps": 1e-5,
+            "rotary_base": 10000.0,
+        }
+        for key, default in defaults.items():
+            value = getattr(self, key)
+            if value != default:
+                cfg[section][key] = repr(value) if isinstance(value, float) else value
         with open(path, "w") as f:
             cfg.write(f)
 

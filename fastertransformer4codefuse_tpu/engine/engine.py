@@ -429,8 +429,9 @@ class GptNeoXEngine:
         **sampling_kwargs,
     ) -> GenerationOutput:
         """Batched generation. With ``callback`` set, streams each step's newest
-        tokens as ``{"last_tokens": [[tok]*beam]*B, "idxs": [[len]*beam]*B}`` —
-        the reference's callback message format
+        tokens as ``{"last_tokens": [[tok]*beam]*B, "idxs": [[gen_idx]*beam]*B}``
+        (gen_idx = 0-based index within the generated region) — the reference's
+        callback message format
         (th_op/gptneox/utils/pybind_callback_utils.cc:86-99)."""
         if beam_width != 1:
             from ..sampling.beam import beam_search_generate
@@ -449,7 +450,7 @@ class GptNeoXEngine:
         else:
             prefill_fn, (step_fn, final_fn) = self._get_stream_fns(st)
             s = prefill_fn(self.params, inputs)
-            prev_finished = np.zeros((st.batch,), bool)
+            in_lens = np.asarray(inputs["input_lengths"])
             for i in range(st.output_len):
                 s = (final_fn if i == st.output_len - 1 else step_fn)(
                     self.params, inputs, s
@@ -457,16 +458,18 @@ class GptNeoXEngine:
                 newest, seq_lens_d, finished = jax.device_get(
                     (s.newest, s.seq_lens, s.finished)
                 )
-                cb_tokens = [
-                    [int(newest[b])] for b in range(st.batch)
+                # Per-row repeat suppression matches the reference's
+                # last_seq_length logic (pybind_callback_utils.cc:79-84): a row
+                # whose length stopped advancing keeps emitting end_id
+                # (s.newest is forced to end_id for finished rows in
+                # _sample_and_advance). idx is the 0-based index of the newest
+                # token within the generated region (seq_idx - input_length,
+                # pybind_callback_utils.cc:88).
+                cb_tokens = [[int(newest[b])] for b in range(st.batch)]
+                cb_idxs = [
+                    [int(seq_lens_d[b] - in_lens[b] - 1)] for b in range(st.batch)
                 ]
-                cb_idxs = [[int(seq_lens_d[b])] for b in range(st.batch)]
-                # suppress repeats for rows that were already finished
-                # (the reference's last_seq_length logic,
-                #  pybind_callback_utils.cc:79-84)
-                if not prev_finished.all():
-                    callback({"last_tokens": cb_tokens, "idxs": cb_idxs})
-                prev_finished = finished
+                callback({"last_tokens": cb_tokens, "idxs": cb_idxs})
                 if finished.all():
                     break
             tokens, seq_lens, cum_lp = jax.device_get(

@@ -89,7 +89,13 @@ def read_files(paths: Sequence[str], dests: Sequence[np.ndarray], threads: int =
 
 
 class NativeTrie:
-    """Drop-in for api.trie.VocabTrie backed by the C++ trie (ids only)."""
+    """Drop-in for api.trie.VocabTrie backed by the C++ trie.
+
+    Matches the VocabTrie public API exactly: extensions() returns real
+    (token_string, token_id) pairs (reconstructed via an id->string map kept
+    on the Python side — the C side stores ids only) and printAutoSuggestions
+    keeps the reference's 0/-1/1 return-code contract
+    (codefuse_example.py:161-172)."""
 
     def __init__(self, vocab):
         lib = _load()
@@ -97,8 +103,10 @@ class NativeTrie:
         self._lib = lib
         self._handle = lib.ftcf_trie_new()
         self.vocab = vocab
+        self._id_to_tok = {}
         for tok, tid in vocab.items():
             lib.ftcf_trie_insert(self._handle, tok.encode(), tid)
+            self._id_to_tok[tid] = tok
 
     def extension_ids(self, prefix: str) -> List[int]:
         cap = 4096
@@ -112,10 +120,20 @@ class NativeTrie:
             cap = count
 
     def extensions(self, prefix: str):
-        # string reconstruction not kept native; ids are what the engine needs
-        inv = None
-        ids = self.extension_ids(prefix)
-        return [("", tid) for tid in ids]
+        return [(self._id_to_tok[tid], tid) for tid in self.extension_ids(prefix)]
+
+    def printAutoSuggestions(self, key: str, results: list) -> int:
+        """Reference-compatible: 0 = prefix absent, -1 = prefix is a leaf
+        token (nothing appended), 1 = suggestions appended. Every trie node
+        lies on a path to some inserted token, so "leaf" is exactly "the only
+        extension is the prefix itself"."""
+        exts = self.extensions(key)
+        if not exts:
+            return 0
+        if len(exts) == 1 and exts[0][0] == key:
+            return -1
+        results.extend(exts)
+        return 1
 
     def __del__(self):
         try:

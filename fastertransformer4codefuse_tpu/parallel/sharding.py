@@ -52,10 +52,19 @@ TOP_SPECS = {
 }
 
 
-def _spec_for_quant(spec: P, k_axis: int, ndim: int) -> P:
-    """Scale spec = weight spec minus the contraction axis."""
+def _spec_for_quant(spec: P, qt: QuantizedTensor) -> P:
+    """Scale spec derived from the weight spec.
+
+    Per-output-channel scales (group_size=0) drop the contraction (K) axis.
+    Group-wise scales keep a K-group axis in the K slot [L, K/G, N]; it
+    inherits the weight K axis's sharding (group boundaries align with shard
+    boundaries whenever K/tp is a multiple of G, which holds for every
+    supported config — G=128 and hidden sizes are multiples of 128*tp)."""
+    ndim = qt.q.ndim
     axes = list(spec) + [None] * (ndim - len(spec))
-    del axes[k_axis % ndim]
+    if qt.group_size:
+        return P(*axes)
+    del axes[qt.k_axis % ndim]
     return P(*axes)
 
 
@@ -66,10 +75,10 @@ def param_shardings(config: GptNeoXConfig, params: Params, mesh: Mesh):
         if isinstance(value, QuantizedTensor):
             return QuantizedTensor(
                 q=NamedSharding(mesh, spec),
-                scale=NamedSharding(
-                    mesh, _spec_for_quant(spec, value.k_axis, value.q.ndim)
-                ),
+                scale=NamedSharding(mesh, _spec_for_quant(spec, value)),
                 k_axis=value.k_axis,
+                bits=value.bits,
+                group_size=value.group_size,
             )
         return NamedSharding(mesh, spec)
 
@@ -91,6 +100,8 @@ def shard_params(config: GptNeoXConfig, params: Params, mesh: Mesh) -> Params:
                 q=jax.device_put(x.q, s.q),
                 scale=jax.device_put(x.scale, s.scale),
                 k_axis=x.k_axis,
+                bits=x.bits,
+                group_size=x.group_size,
             )
         return jax.device_put(x, s)
 

@@ -97,15 +97,18 @@ def beam_search_generate(
         # reference's per-step pybind callback with beam_width > 1
         prefill_fn, step_fn, final_fn, finish_fn = fn
         s = prefill_fn(engine.params, inputs)
+        in_lens = np.asarray(inputs["input_lengths"]).reshape(B, bw)
         for i in range(st.output_len):
             s = (final_fn if i == st.output_len - 1 else step_fn)(
                 engine.params, inputs, s
             )
             newest, lens_d, fin = jax.device_get((s.newest, s.seq_lens, s.finished))
+            # idxs = generated-region index of the newest token
+            # (seq_idx - input_length, pybind_callback_utils.cc:88)
             callback(
                 {
                     "last_tokens": newest.reshape(B, bw).tolist(),
-                    "idxs": lens_d.reshape(B, bw).tolist(),
+                    "idxs": (lens_d.reshape(B, bw) - in_lens - 1).tolist(),
                 }
             )
             if fin.all():

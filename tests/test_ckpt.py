@@ -188,3 +188,27 @@ def test_int4_bin_roundtrip(tmp_path):
         assert a.bits == 4 and a.group_size == 32
         np.testing.assert_array_equal(np.asarray(a.q), np.asarray(b.q))
         np.testing.assert_allclose(np.asarray(a.scale), np.asarray(b.scale), rtol=1e-6)
+
+
+def test_config_ini_roundtrip_gptj_fields(tmp_path):
+    """to_ini must persist rotary_style/activation/layernorm_eps/rotary_base so
+    a GPT-J config round-trips (regression: these were silently dropped and a
+    gptj config came back as neox/gelu)."""
+    cfg = GptNeoXConfig.tiny(
+        rotary_style="gptj", activation="gelu-tanh",
+        layernorm_eps=1e-6, rotary_base=50000.0, model_name="gptj-test",
+    )
+    cfg.to_ini(str(tmp_path))
+    back = GptNeoXConfig.from_ini(str(tmp_path))
+    assert back == cfg
+
+
+def test_config_ini_default_fields_stay_compact(tmp_path):
+    """Reference-default configs must not grow extra keys (byte-compat with
+    huggingface_convert.py's config.ini schema)."""
+    cfg = GptNeoXConfig.codefuse_13b()
+    cfg.to_ini(str(tmp_path))
+    text = (tmp_path / "config.ini").read_text()
+    for absent in ("rotary_style", "activation", "layernorm_eps", "rotary_base"):
+        assert absent not in text
+    assert GptNeoXConfig.from_ini(str(tmp_path)) == cfg

@@ -67,6 +67,20 @@ def test_tp_int8_matches_single_device():
     np.testing.assert_array_equal(ref.output_ids, out.output_ids)
 
 
+@pytest.mark.parametrize("group_size", [0, 16])
+def test_tp_int4_matches_single_device(group_size):
+    """int4 (nibble-packed) + per-channel AND group-wise scales under TP:
+    regression for bits/group_size being dropped by shard_params."""
+    cfg = tiny_cfg()
+    params = quantize_params(
+        init_params(cfg, dtype="fp32"), weight_bits=4, group_size=group_size
+    )
+    ref = run_engine(cfg, params, int8=1)
+    mesh = build_mesh(tp=2)
+    out = run_engine(cfg, params, mesh=mesh, tp=2, int8=1)
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
+
+
 def test_dp_axis_runs():
     cfg = tiny_cfg()
     params = init_params(cfg, dtype="fp32")
