@@ -111,8 +111,31 @@ def quantize_params(
         if not isinstance(out["embed"], QuantizedTensor):
             out["embed"] = quantize_array(out["embed"], k_axis=-1)  # scale [V]
         if not isinstance(out["lm_head"], QuantizedTensor):
-            out["lm_head"] = quantize_array(out["lm_head"], k_axis=-1)  # scale [V]
+            if weight_bits == 4:
+                out["lm_head"] = quantize_lm_head_int4(out["lm_head"])
+            else:
+                out["lm_head"] = quantize_array(out["lm_head"], k_axis=-1)  # scale [V]
     return out
+
+
+def quantize_lm_head_int4(w: jax.Array, lane: int = 128) -> QuantizedTensor:
+    """Int4 LM head in the kernel-feeding layout.
+
+    The int8 LM head keeps HF's ``[V, H]`` with per-row scales, but int4
+    nibble-packing must run along the CONTRACTION axis (H), and the TPU
+    bitcast unpack doubles the sublane axis — so the int4 head is stored
+    TRANSPOSED ``[H, V_pad]`` (packed ``[H/2, V_pad]``, k_axis=-2, per-column
+    scales = per-vocab-row), with V padded up to a lane multiple so Pallas
+    tiles divide. ``lm_logits`` slices the pad columns back off. Same scale
+    math as the reference quantizer (WeightOnlyQuantOps.cc:140-233) at int4
+    width; layout is kernel-defined as on the CUTLASS side
+    (cutlass_preprocessors.cc)."""
+    V, H = w.shape
+    Vp = -(-V // lane) * lane
+    wt = jnp.asarray(w, jnp.float32).T  # [H, V]
+    if Vp != V:
+        wt = jnp.pad(wt, ((0, 0), (0, Vp - V)))
+    return quantize_array(wt, k_axis=-2, bits=4)
 
 
 def quantization_error(w: jax.Array, k_axis: int = -2) -> float:

@@ -256,7 +256,12 @@ def lm_logits(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.A
     h = final_norm(config, params, hidden)
     w = params["lm_head"]  # [V, H] — contracted on H (both operands H-minor)
     h2 = h.reshape(-1, h.shape[-1])
-    if isinstance(w, QuantizedTensor):
+    if isinstance(w, QuantizedTensor) and w.k_axis % w.q.ndim == 0:
+        # int4 head stored transposed [H, V_pad] (ckpt.quantize.quantize_lm_head_int4)
+        from ..ops.linear import quantized_matmul_transposed_head
+
+        logits = quantized_matmul_transposed_head(h2, w)[:, : config.vocab_size]
+    elif isinstance(w, QuantizedTensor):
         logits = jax.lax.dot_general(
             h2,
             w.q.astype(h2.dtype),

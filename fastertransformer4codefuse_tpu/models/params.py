@@ -242,13 +242,25 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_
             return QuantizedTensor(q=q, scale=scale, k_axis=-1)
         return dense(key, shape)
 
+    def lm_head_weight(key):
+        if int8_mode >= 2 and weight_bits == 4:
+            # int4 head: transposed [H, V_pad] packed layout feeding the W4
+            # kernel (ckpt.quantize.quantize_lm_head_int4)
+            Vp = -(-V // 128) * 128
+            qkey, skey = jax.random.split(key)
+            q = rand_i8(qkey, (H // 2, Vp))
+            scale = jax.random.uniform(skey, (Vp,), jnp.float32, 0.5, 1.5) * std / 7.0
+            return QuantizedTensor(q=q, scale=scale, k_axis=-2, bits=4)
+        return maybe_quant_rowwise(key, (V, H))
+
     return {
         "embed": maybe_quant_rowwise(next(keys), (V, H)),
         "layers": layers,
         "final_ln_w": jnp.ones((H,), dtype),
         "final_ln_b": jnp.zeros((H,), dtype),
         # [V, H]: H-minor feeds the logits GEMM without a transpose copy
-        "lm_head": maybe_quant_rowwise(next(keys), (V, H)),
+        # (int4: transposed packed layout, see lm_head_weight)
+        "lm_head": lm_head_weight(next(keys)),
     }
 
 

@@ -131,6 +131,23 @@ def quantized_matmul(
     return quantized_matmul_xla(x, w)
 
 
+def quantized_matmul_transposed_head(x: jax.Array, w: QuantizedTensor) -> jax.Array:
+    """fp32-out logits GEMM against the [K, V_pad] (k_axis=0) quantized LM head.
+
+    Int4 heads ride the per-channel W4 Pallas kernel on TPU; everywhere else
+    (and for int8) the XLA convert-into-dot composition covers it."""
+    assert w.k_axis % w.q.ndim == 0
+    if w.bits == 4 and _ON_TPU and w.group_size == 0:
+        from .quant_matmul_w4 import quant_matmul_w4_pallas
+
+        return quant_matmul_w4_pallas(x, w.q, w.scale, out_dtype=jnp.float32)
+    wk = w.unpack().astype(x.dtype)
+    acc = jnp.dot(x, wk, preferred_element_type=jnp.float32)
+    if w.group_size:
+        raise NotImplementedError("group-wise transposed LM head")
+    return acc * w.scale[None, :].astype(jnp.float32)
+
+
 def linear(
     x: jax.Array,
     w,

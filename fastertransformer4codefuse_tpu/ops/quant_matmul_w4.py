@@ -35,6 +35,15 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, out_dtype):
         o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(out_dtype)
 
 
+def _shrink_bn_for_vmem(bm: int, bn: int) -> int:
+    """Wide bn (5120) wins at decode widths (bm<=32: up/down 86->81us measured)
+    but overflows the 16MB VMEM budget at prefill widths; shrink it so the
+    f32 accumulator + double-buffered tiles stay within budget."""
+    while bm * bn * 4 > 4 * 1024 * 1024 and bn > 1024:
+        bn //= 2
+    return bn
+
+
 def _largest_divisor_tile(dim: int, want: int, floor: int = 128) -> int:
     """Largest multiple of `floor` that divides `dim` and is <= `want`."""
     want = min(want, dim)
@@ -69,8 +78,16 @@ def quant_matmul_w4_pallas(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    bn = min(bn, N)
-    bk = min(bk, K)
+    # prefer a divisor tile over padding: padding the packed operand copies
+    # the whole weight every call (258MB for a 13B int4 LM head)
+    if N % 128 == 0:
+        bn = _largest_divisor_tile(N, min(bn, N))
+    else:
+        bn = min(bn, N)
+    if K % 256 == 0:
+        bk = _largest_divisor_tile(K, min(bk, K), floor=256)
+    else:
+        bk = min(bk, K)
 
     xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
     pp = _pad_to(_pad_to(packed, bk // 2, 0), bn, 1)
@@ -125,7 +142,7 @@ def quant_matmul_w4_pallas_stacked(
     layer: jax.Array,
     out_dtype=None,
     bm: int = 0,
-    bn: int = 2560,
+    bn: int = 5120,
     bk: int = 1024,
 ):
     """Layer-indexed W4 kernel over the stacked weights (see
@@ -137,7 +154,7 @@ def quant_matmul_w4_pallas_stacked(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    bn = _largest_divisor_tile(N, bn)
+    bn = _largest_divisor_tile(N, _shrink_bn_for_vmem(bm, bn))
     bk = _largest_divisor_tile(K, bk)
     xp = _pad_to(x, bm, 0)
     Mp = xp.shape[0]
@@ -203,7 +220,7 @@ def quant_matmul_w4_group_stacked(
     G: int,
     out_dtype=None,
     bm: int = 0,
-    bn: int = 2560,
+    bn: int = 5120,
     bk: int = 1024,
 ):
     """Group-wise-scale W4 kernel: the scale applies inside the contraction,
@@ -215,7 +232,7 @@ def quant_matmul_w4_group_stacked(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    bn = _largest_divisor_tile(N, bn)
+    bn = _largest_divisor_tile(N, _shrink_bn_for_vmem(bm, bn))
     bk = _largest_divisor_tile(K, bk)
     assert bk % G == 0, f"k-tile {bk} must hold whole groups of {G}"
     xp = _pad_to(x, bm, 0)

@@ -82,12 +82,22 @@ def param_shardings(config: GptNeoXConfig, params: Params, mesh: Mesh):
             )
         return NamedSharding(mesh, spec)
 
+    def top_spec(name, value):
+        if (
+            name == "lm_head"
+            and isinstance(value, QuantizedTensor)
+            and value.k_axis % value.q.ndim == 0
+        ):
+            # int4 head stored transposed [H, V_pad]: vocab split is axis 1
+            return P(None, "tp")
+        return TOP_SPECS[name]
+
     out = {}
     for k, v in params.items():
         if k == "layers":
             out[k] = {n: leaf(LAYER_SPECS[n], val) for n, val in v.items()}
         else:
-            out[k] = leaf(TOP_SPECS[k], v)
+            out[k] = leaf(top_spec(k, v), v)
     return out
 
 

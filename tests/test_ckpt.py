@@ -212,3 +212,50 @@ def test_config_ini_default_fields_stay_compact(tmp_path):
     for absent in ("rotary_style", "activation", "layernorm_eps", "rotary_base"):
         assert absent not in text
     assert GptNeoXConfig.from_ini(str(tmp_path)) == cfg
+
+
+def test_int4_lm_head_matches_dequant():
+    """Transposed-packed int4 LM head: logits equal the explicit dequantized
+    GEMM, and vocab padding columns are sliced off."""
+    from fastertransformer4codefuse_tpu.ckpt.quantize import quantize_lm_head_int4
+    from fastertransformer4codefuse_tpu.models import gptneox as model
+
+    cfg = GptNeoXConfig.tiny(vocab_size=70)  # pads to 128
+    from fastertransformer4codefuse_tpu import init_params
+
+    params = init_params(cfg, dtype="fp32")
+    w = params["lm_head"]
+    qt = quantize_lm_head_int4(w)
+    assert qt.q.shape == (cfg.hidden_size // 2, 128)
+    params4 = dict(params, lm_head=qt)
+
+    hidden = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.hidden_size), jnp.float32)
+    logits = model.lm_logits(cfg, params4, hidden)
+    assert logits.shape == (2, 70)
+
+    # explicit reference: dequantize transposed head, dot, slice
+    h = model.final_norm(cfg, params4, hidden)
+    wd = qt.dequantize(jnp.float32)  # [H, 128]
+    want = (h @ wd)[:, :70]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    # int4 quantization error itself is bounded (sanity on the pack order)
+    err = np.abs(np.asarray(wd[:, :70]) - np.asarray(w, np.float32).T)
+    amax = np.abs(np.asarray(w, np.float32)).max(axis=1)
+    assert (err.max(axis=0) <= amax / 7.0 * 0.5 + 1e-6).all()
+
+
+def test_engine_runs_with_int4_lm_head():
+    cfg = GptNeoXConfig.tiny(vocab_size=70)
+    from fastertransformer4codefuse_tpu import init_params
+
+    params = quantize_params(
+        init_params(cfg, dtype="fp32"), include_embeddings=True, weight_bits=4,
+        group_size=16,
+    )
+    assert params["lm_head"].k_axis % params["lm_head"].q.ndim == 0
+    eng = GptNeoXEngine(
+        cfg, params, RuntimeConfig(dtype="fp32", int8_mode=2, seq_bucket=8)
+    )
+    out = eng.generate([[3, 4, 5]], output_len=4, top_k=1)
+    assert out.output_ids.shape[2] >= 7
