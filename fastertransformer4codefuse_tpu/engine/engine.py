@@ -54,6 +54,7 @@ class DecodeState(NamedTuple):
     logits: jax.Array  # [B, V] f32 — logits for the NEXT sample
     cache: Any  # stacked KV cache pytree (engine.kv_cache)
     newest: jax.Array  # [B] int32 — token sampled this step (for streaming)
+    beam_indir: Any = None  # [B, S] int32 — beam-search cache indirection (beam only)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,7 +213,9 @@ class GptNeoXEngine:
             newest=tok,
         )
 
-    def _forward_newest(self, st: _Statics, params: Params, s: DecodeState) -> DecodeState:
+    def _forward_newest(
+        self, st: _Statics, params: Params, s: DecodeState, beam_width: int = 1
+    ) -> DecodeState:
         """Decode-forward the newest token, producing logits for the next sample.
 
         Kept OUT of any lax.cond: a conditional over the cache pytree breaks
@@ -220,12 +223,21 @@ class GptNeoXEngine:
         (observed: 2x640us per step on 13B). The generation loop instead runs
         ``output_len - 1`` sample+forward iterations and a final sample-only
         step, so no forward is ever wasted.
+
+        With ``beam_width > 1`` the KV cache is FIXED and attention resolves
+        ``s.beam_indir`` (the reference's cache_indirection scheme,
+        GptNeoX.cc:776-778, 1011-1017); finished rows' redundant rewrites are
+        masked so other beams' indirected reads stay intact.
         """
         cfg = self.config
         B, T = s.tokens.shape
         positions = jnp.clip(s.seq_lens - 1, 0, T - 1)
         newest = s.tokens[jnp.arange(B), positions]
-        hidden, cache = model.decode_step(cfg, params, newest, positions, s.cache)
+        beam = (beam_width, s.beam_indir) if beam_width > 1 else None
+        kv_skip = s.finished if beam_width > 1 else None
+        hidden, cache = model.decode_step(
+            cfg, params, newest, positions, s.cache, beam=beam, kv_skip=kv_skip
+        )
         logits = model.lm_logits(cfg, params, hidden)
         return s._replace(logits=logits, cache=cache)
 

@@ -104,23 +104,59 @@ def _row_update(slab: jax.Array, layer, new: jax.Array, positions: jax.Array):
     return slab
 
 
+def _read_rows(slab: jax.Array, layer, positions: jax.Array) -> jax.Array:
+    """slab[layer, b, :, positions[b]] -> [B, nH] or [B, nH, dh]."""
+    B = positions.shape[0]
+    nH = slab.shape[2]
+    outs = []
+    for b in range(B):
+        if slab.ndim == 5:
+            sl = jax.lax.dynamic_slice(
+                slab, (layer, b, 0, positions[b], 0), (1, 1, nH, 1, slab.shape[4])
+            )
+            outs.append(sl[0, 0, :, 0, :])
+        else:
+            sl = jax.lax.dynamic_slice(
+                slab, (layer, b, 0, positions[b]), (1, 1, nH, 1)
+            )
+            outs.append(sl[0, 0, :, 0])
+    return jnp.stack(outs)
+
+
 def write_decode(
-    cache: Cache, layer, k: jax.Array, v: jax.Array, positions: jax.Array
+    cache: Cache, layer, k: jax.Array, v: jax.Array, positions: jax.Array,
+    skip=None,
 ) -> Cache:
-    """Write one token per row into layer ``layer`` (k, v: [B, 1, nH, dh])."""
+    """Write one token per row into layer ``layer`` (k, v: [B, 1, nH, dh]).
+
+    ``skip`` [B] bool: rows whose existing cache entry must be PRESERVED —
+    under beam-search cache indirection a finished row's slot may be
+    referenced by other beams through the indirection table, so its per-step
+    redundant rewrite must not change the stored bytes (the reference never
+    faces this: its finished rows simply stop stepping, GptNeoX.cc:1031-1033)."""
     kt = k[:, 0]  # [B, nH, dh]
     vt = v[:, 0]
     out = dict(cache)
+
+    def keep(new, slab):
+        if skip is None:
+            return new
+        old = _read_rows(slab, layer, positions).astype(new.dtype)
+        mask = skip.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(mask, old, new)
+
     if quantized(cache):
         kq, ks = _quantize_vec(kt)
         vq, vs = _quantize_vec(vt)
-        out["k"] = _row_update(cache["k"], layer, kq, positions)
-        out["v"] = _row_update(cache["v"], layer, vq, positions)
-        out["k_s"] = _row_update(cache["k_s"], layer, ks, positions)
-        out["v_s"] = _row_update(cache["v_s"], layer, vs, positions)
+        out["k"] = _row_update(cache["k"], layer, keep(kq, cache["k"]), positions)
+        out["v"] = _row_update(cache["v"], layer, keep(vq, cache["v"]), positions)
+        out["k_s"] = _row_update(cache["k_s"], layer, keep(ks, cache["k_s"]), positions)
+        out["v_s"] = _row_update(cache["v_s"], layer, keep(vs, cache["v_s"]), positions)
     else:
-        out["k"] = _row_update(cache["k"], layer, kt.astype(cache["k"].dtype), positions)
-        out["v"] = _row_update(cache["v"], layer, vt.astype(cache["v"].dtype), positions)
+        kt = kt.astype(cache["k"].dtype)
+        vt = vt.astype(cache["v"].dtype)
+        out["k"] = _row_update(cache["k"], layer, keep(kt, cache["k"]), positions)
+        out["v"] = _row_update(cache["v"], layer, keep(vt, cache["v"]), positions)
     return out
 
 
@@ -135,6 +171,67 @@ def set_flash_decode(flag: bool) -> None:
     _FLASH_DECODE = bool(flag)
 
 
+def attend_decode_beam(
+    cache: Cache,
+    layer,
+    q: jax.Array,  # [BB, nH, dh]
+    valid: jax.Array,  # [BB, S]
+    sm_scale: float,
+    indir: jax.Array,  # [BB, S] int32 in [0, bw)
+    bw: int,
+) -> jax.Array:
+    """Beam decode attention over a FIXED cache with per-position indirection.
+
+    The analog of the reference's cache_indirection scheme resolved inside the
+    decode attention kernel (GptNeoX.cc:776-778, 1011-1017 and the
+    decoder_masked_multihead_attention cache_indir parameter): instead of
+    physically reordering the [L, BB, nH, S, dh] cache every step, each beam's
+    past position s reads physical row ``indir[b, s]`` within its beam group.
+
+    TPU formulation: scores are computed all-pairs within the group
+    (target beam j x physical row c) so each cache byte is read ONCE per group,
+    then the indirection one-hot selects the right row per position. FLOPs grow
+    bw-fold but decode attention is HBM-bound — the eliminated full-cache
+    gather copy dominates.
+    """
+    cache_l = {
+        k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
+        for k, v in cache.items()
+    }
+    BB, S = indir.shape
+    B = BB // bw
+    nH, dh = q.shape[1], q.shape[2]
+    kg = cache_l["k"].reshape(B, bw, nH, S, dh)
+    vg = cache_l["v"].reshape(B, bw, nH, S, dh)
+    qg = q.reshape(B, bw, nH, dh)
+
+    # [B, j, c, nH, S]: every target beam j against every physical row c
+    scores_all = jnp.einsum(
+        "bjhd,bchsd->bjchs", qg, kg.astype(qg.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if quantized(cache_l):
+        k_s = cache_l["k_s"].reshape(B, 1, bw, nH, S).astype(jnp.float32)
+        scores_all = scores_all * k_s
+    # one-hot select the physical row per (beam, position)
+    sel = jax.nn.one_hot(indir.reshape(B, bw, S), bw, axis=2, dtype=jnp.float32)
+    scores = jnp.einsum("bjchs,bjcs->bjhs", scores_all, sel) * sm_scale
+    validg = valid.reshape(B, bw, 1, S)
+    scores = jnp.where(validg, scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)  # [B, j, nH, S]
+
+    # route probs back to physical rows for the PV contraction
+    pc = jnp.einsum("bjhs,bjcs->bjchs", probs, sel)
+    if quantized(cache_l):
+        v_s = cache_l["v_s"].reshape(B, 1, bw, nH, S).astype(jnp.float32)
+        pc = pc * v_s
+    out = jnp.einsum(
+        "bjchs,bchsd->bjhd", pc.astype(q.dtype), vg.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(BB, nH, dh).astype(q.dtype)
+
+
 def attend_decode(
     cache: Cache,
     layer,
@@ -142,6 +239,7 @@ def attend_decode(
     valid: jax.Array,
     sm_scale: float,
     positions=None,
+    beam=None,
 ) -> jax.Array:
     """Single-token attention over layer ``layer`` of the cache.
 
@@ -152,6 +250,9 @@ def attend_decode(
     """
     S = cache["k"].shape[3]
     dh = cache["k"].shape[4]
+    if beam is not None:
+        bw, indir = beam
+        return attend_decode_beam(cache, layer, q, valid, sm_scale, indir, bw)
     if (
         _FLASH_DECODE
         and quantized(cache)

@@ -140,6 +140,8 @@ def block_decode(
     sin: jax.Array,
     positions: jax.Array,  # [B] int32: slot of each row's new token
     valid: jax.Array,  # [B, S_max] — cache slots that participate
+    beam=None,  # (beam_width, indirection [B, S_max]) — fixed-cache beam search
+    kv_skip=None,  # [B] bool — preserve these rows' cache entries (beam mode)
 ):
     B, S, H = x.shape
     nH, dh = config.head_num, config.size_per_head
@@ -148,9 +150,11 @@ def block_decode(
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, 1, nH, dh]
 
-    cache = kvc.write_decode(cache, layer, k, v, positions)
+    cache = kvc.write_decode(cache, layer, k, v, positions, skip=kv_skip)
 
-    attn = kvc.attend_decode(cache, layer, q[:, 0], valid, sm_scale, positions)  # [B, nH, dh]
+    attn = kvc.attend_decode(
+        cache, layer, q[:, 0], valid, sm_scale, positions, beam=beam
+    )  # [B, nH, dh]
     attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
@@ -223,6 +227,8 @@ def decode_step(
     positions: jax.Array,  # [B] int32 — slot/rotary position of each new token
     cache: KVCache,
     rotary_tables: Optional[Tuple[jax.Array, jax.Array]] = None,
+    beam=None,
+    kv_skip=None,
 ) -> Tuple[jax.Array, KVCache]:
     """One incremental decode step. Returns (hidden [B, H], updated cache)."""
     B = tokens.shape[0]
@@ -239,7 +245,9 @@ def decode_step(
 
     valid = make_decode_valid(positions, cache_len)
 
-    fn = lambda lp, x, c, l: block_decode(config, lp, x, c, l, cos, sin, positions, valid)
+    fn = lambda lp, x, c, l: block_decode(
+        config, lp, x, c, l, cos, sin, positions, valid, beam=beam, kv_skip=kv_skip
+    )
     x, cache = _scan_layers(config, params, x, cache, fn)
     return x[:, 0], cache
 

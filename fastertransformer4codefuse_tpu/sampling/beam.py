@@ -7,13 +7,12 @@ online_softmax_beamsearch kernels): per-beam top-k -> diversity penalty ->
 cross-beam merge, GNMT-style length penalty, finished beams frozen as
 candidates, stop-words/end-id criteria per beam.
 
-Design departure: the reference keeps the KV cache fixed and tracks beam
-reassignments through ``cache_indirection`` arrays resolved inside the decode
-attention kernel (GptNeoX.cc:776-778, 1011-1017), then reconstructs sequences
-with gather_tree. Here beams are physically reordered each step (a batch-axis
-gather of cache and token buffers, the t5x/flax approach) — simpler, exact,
-and the reorder is one gather over [L, BB, nH, S, dh]; the indirection
-optimization can come later without API change.
+Like the reference, the KV cache stays FIXED and beam reassignments ride a
+``cache_indirection`` table resolved inside decode attention
+(GptNeoX.cc:776-778, 1011-1017; here engine.kv_cache.attend_decode_beam's
+group-blocked all-pairs + one-hot select). Only the small host-side buffers
+(tokens, lengths, scores) are physically reordered per step; sequences come
+out packed, so no gather_tree reconstruction is needed.
 
 Prompts are tiled beam_width times before prefill, exactly like the
 reference's invokeTileGptInputs (GptNeoX.cc:590-597).
@@ -193,12 +192,21 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
         finished = jnp.take(s.finished, src, axis=0)
         input_lengths = inputs["input_lengths"]  # identical across beams per batch
 
-        cache = {k: jnp.take(v, src, axis=1) for k, v in s.cache.items()}
+        # the KV cache stays FIXED; beam reassignment is tracked through the
+        # indirection table instead (the reference's cache_indirection scheme,
+        # GptNeoX.cc:1011-1017) — the [BB, S] int32 gather here replaces the
+        # multi-GB [L, BB, nH, S, dh] cache gather per step
+        indir = jnp.take(s.beam_indir, src, axis=0)
 
         tok = jnp.where(finished, end_id, new_tok)
         write_idx = jnp.clip(seq_lens, 0, T - 1)
         tokens = tokens.at[jnp.arange(BB), write_idx].set(
             jnp.where(finished, tokens[jnp.arange(BB), write_idx], tok)
+        )
+        # the next forward writes row b's new KV into row b itself at write_idx
+        own = (jnp.arange(BB, dtype=jnp.int32) % bw)
+        indir = indir.at[jnp.arange(BB), write_idx].set(
+            jnp.where(finished, indir[jnp.arange(BB), write_idx], own)
         )
         seq_lens = seq_lens + jnp.where(finished, 0, 1)
         cum_log_probs = jnp.where(finished, s.cum_log_probs[src], new_cum)
@@ -216,7 +224,7 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
             gen_step=s.gen_step + 1,
             finished=finished,
             cum_log_probs=cum_log_probs,
-            cache=cache,
+            beam_indir=indir,
             newest=tok,
         )
 
@@ -225,8 +233,13 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
         # step 0: only beam 0 of each batch proposes (classic init trick —
         # otherwise all beams pick identical tokens)
         beam_idx = jnp.arange(st.batch) % bw
+        # each row's prompt KV was written by its own row (prompts tiled)
+        indir = jnp.broadcast_to(
+            beam_idx.astype(jnp.int32)[:, None], (st.batch, st.total_len)
+        )
         return s._replace(
-            cum_log_probs=jnp.where(beam_idx == 0, 0.0, NEG_INF).astype(jnp.float32)
+            cum_log_probs=jnp.where(beam_idx == 0, 0.0, NEG_INF).astype(jnp.float32),
+            beam_indir=indir,
         )
 
     def sort_outputs(inputs, s):
@@ -245,7 +258,7 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
     if stepwise:
         def step(params, inputs, s):
             s = beam_advance(params, inputs, s)
-            return engine._forward_newest(st, params, s)
+            return engine._forward_newest(st, params, s, beam_width=bw)
 
         return (
             jax.jit(beam_prefill),
@@ -264,7 +277,7 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
 
         def body(s):
             s = beam_advance(params, inputs, s)
-            return engine._forward_newest(st, params, s)
+            return engine._forward_newest(st, params, s, beam_width=bw)
 
         s = jax.lax.while_loop(cond, body, s)
         s = beam_advance(params, inputs, s)

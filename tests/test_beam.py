@@ -82,3 +82,90 @@ def test_beam_streaming_matches_batch():
     # final outputs identical between modes
     np.testing.assert_array_equal(batch.output_ids, stream.output_ids)
     np.testing.assert_array_equal(batch.sequence_lengths, stream.sequence_lengths)
+
+
+def test_attend_decode_beam_matches_physical_gather():
+    """Op-level: indirection-resolved attention == attention over a physically
+    reordered cache, for both bf16 and int8(+scales) caches."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu.engine import kv_cache as kvc
+
+    rng = np.random.default_rng(0)
+    L, B, bw, nH, S, dh = 2, 2, 3, 4, 16, 8
+    BB = B * bw
+    q = jnp.asarray(rng.normal(size=(BB, nH, dh)), jnp.float32)
+    lens = rng.integers(5, S, size=(BB,))
+    valid = jnp.asarray(np.arange(S)[None, :] < lens[:, None])
+    indir = jnp.asarray(rng.integers(0, bw, size=(BB, S)), jnp.int32)
+    layer = jnp.int32(1)
+
+    for quant in (False, True):
+        if quant:
+            cache = {
+                "k": jnp.asarray(rng.integers(-127, 128, size=(L, BB, nH, S, dh)), jnp.int8),
+                "v": jnp.asarray(rng.integers(-127, 128, size=(L, BB, nH, S, dh)), jnp.int8),
+                "k_s": jnp.asarray(rng.uniform(0.01, 0.1, size=(L, BB, nH, S)), jnp.bfloat16),
+                "v_s": jnp.asarray(rng.uniform(0.01, 0.1, size=(L, BB, nH, S)), jnp.bfloat16),
+            }
+        else:
+            cache = {
+                "k": jnp.asarray(rng.normal(size=(L, BB, nH, S, dh)), jnp.float32),
+                "v": jnp.asarray(rng.normal(size=(L, BB, nH, S, dh)), jnp.float32),
+            }
+        got = kvc.attend_decode_beam(cache, layer, q, valid, 0.3, indir, bw)
+
+        # physically resolve the indirection per position, then vanilla attend
+        ind = np.asarray(indir).reshape(B, bw, S)
+        resolved = {}
+        for name, slab in cache.items():
+            arr = np.asarray(slab).reshape((L, B, bw) + slab.shape[2:])
+            out = np.empty_like(np.asarray(slab).reshape((L, B, bw) + slab.shape[2:]))
+            for b in range(B):
+                for j in range(bw):
+                    for s_ in range(S):
+                        out[:, b, j, :, s_] = arr[:, b, ind[b, j, s_], :, s_]
+            resolved[name] = jnp.asarray(out.reshape(np.asarray(slab).shape))
+        want = kvc.attend_decode(resolved, layer, q, valid, 0.3)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=2e-4, atol=2e-4,
+        )
+
+
+def test_beam_cum_log_probs_match_teacher_forced_rescoring():
+    """End-to-end pin on the fixed-cache indirection machinery: every returned
+    hypothesis' cum_log_prob must equal the teacher-forced sum of token
+    log-probs under the model. Any cache-lineage corruption (e.g. a finished
+    row's rewrite clobbering a slot other beams still reference) would shift
+    the sampled logits and break this equality. Stop-words force beams to
+    finish at different times, exercising the hazard path."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu.models import gptneox as model
+
+    cfg, eng = make_engine(seed=5)
+    prompt = [3, 4, 5, 6]
+    g = eng.generate([prompt], output_len=8, beam_width=3)
+    first_toks = {int(t) for t in g.output_ids[0, :, len(prompt)]}
+    # stop on one beam's first pick so beams finish at different steps
+    sw = np.array([[[sorted(first_toks)[0]], [1]]], np.int32)
+    out = eng.generate([prompt], output_len=8, beam_width=3, stop_words_list=sw)
+
+    params = eng.params
+    end_id = cfg.end_id
+    for j in range(3):
+        seq = list(out.output_ids[0, j, : out.sequence_lengths[0, j]])
+        T = len(seq)
+        cache = model.init_kv_cache(cfg, 1, T, jnp.float32)
+        ids = jnp.asarray([seq], jnp.int32)
+        hidden, _ = model.prefill(cfg, params, ids, jnp.asarray([T], jnp.int32), cache)
+        logits = model.lm_logits(cfg, params, hidden)  # [1, T, V]
+        lp = jax.nn.log_softmax(logits[0], axis=-1)
+        want = sum(
+            float(lp[t - 1, seq[t]]) for t in range(len(prompt), T)
+        )
+        got = float(out.cum_log_probs[0, j])
+        assert abs(got - want) < 1e-3, (j, got, want, seq)
