@@ -192,6 +192,9 @@ class RuntimeConfig:
         13B); the kernel remains available for tuning.
       tensor_para_size: TP degree (mesh axis "tp").
       data_para_size: replica axis (mesh axis "dp").
+      pipeline_para_size: PP stage count (mesh axis "pp"); layers and KV cache
+        are split into contiguous blocks per stage (parallel/pipeline.py, the
+        analog of the reference's pipeline_para_size_).
       logits_dtype: lm-head GEMM output dtype; the reference computes fp32 logits
         (GptNeoX.cc uses FT's gemm with float out for logits).
     """
@@ -207,5 +210,6 @@ class RuntimeConfig:
     use_flash_decode: bool = True
     tensor_para_size: int = 1
     data_para_size: int = 1
+    pipeline_para_size: int = 1
     logits_dtype: str = "fp32"
     donate_cache: bool = True

@@ -123,10 +123,14 @@ class GptNeoXEngine:
         from .kv_cache import set_flash_decode
 
         set_flash_decode(self.runtime.use_flash_decode and backend == "tpu")
+        self._pp = 1
         if mesh is not None:
             from ..parallel.sharding import shard_params
 
             self.params = shard_params(config, self.params, mesh)
+            self._pp = int(dict(mesh.shape).get("pp", 1))
+            if self._pp > 1:
+                assert config.layer_num % self._pp == 0
 
     # ------------------------------------------------------------------ core --
     def _cache_dtype(self):
@@ -235,9 +239,17 @@ class GptNeoXEngine:
         newest = s.tokens[jnp.arange(B), positions]
         beam = (beam_width, s.beam_indir) if beam_width > 1 else None
         kv_skip = s.finished if beam_width > 1 else None
-        hidden, cache = model.decode_step(
-            cfg, params, newest, positions, s.cache, beam=beam, kv_skip=kv_skip
-        )
+        if self._pp > 1:
+            from ..parallel import pipeline
+
+            hidden, cache = pipeline.decode_step(
+                cfg, self.mesh, params, newest, positions, s.cache,
+                beam=beam, kv_skip=kv_skip,
+            )
+        else:
+            hidden, cache = model.decode_step(
+                cfg, params, newest, positions, s.cache, beam=beam, kv_skip=kv_skip
+            )
         logits = model.lm_logits(cfg, params, hidden)
         return s._replace(logits=logits, cache=cache)
 
@@ -248,9 +260,17 @@ class GptNeoXEngine:
         input_lengths = inputs["input_lengths"]
         cache = model.init_kv_cache(cfg, B, st.total_len, self._cache_dtype())
 
-        hidden, cache = model.prefill(
-            cfg, params, tokens[:, : st.input_width], input_lengths, cache
-        )
+        if self._pp > 1:
+            from ..parallel import pipeline
+
+            hidden, cache = pipeline.prefill(
+                cfg, self.mesh, params, tokens[:, : st.input_width],
+                input_lengths, cache,
+            )
+        else:
+            hidden, cache = model.prefill(
+                cfg, params, tokens[:, : st.input_width], input_lengths, cache
+            )
         last_h = model.last_token_hidden(hidden, input_lengths)
         logits = model.lm_logits(cfg, params, last_h)
 

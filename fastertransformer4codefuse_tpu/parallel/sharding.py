@@ -18,30 +18,34 @@ from ..core.config import GptNeoXConfig
 from ..models.params import Params, QuantizedTensor
 
 
-def build_mesh(tp: int = 1, dp: int = 1, devices=None) -> Mesh:
-    """Device mesh with ("dp", "tp") axes. TP rides the fastest (innermost)
-    axis so its collectives map to nearest-neighbor ICI links."""
+def build_mesh(tp: int = 1, dp: int = 1, pp: int = 1, devices=None) -> Mesh:
+    """Device mesh with ("dp", "pp", "tp") axes. TP rides the fastest
+    (innermost) axis so its collectives map to nearest-neighbor ICI links; PP
+    sits between so each stage's TP group is ICI-contiguous."""
     if devices is None:
         devices = jax.devices()
-    assert len(devices) >= tp * dp, f"need {tp * dp} devices, have {len(devices)}"
-    arr = np.array(devices[: tp * dp]).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    n = tp * dp * pp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    arr = np.array(devices[:n]).reshape(dp, pp, tp)
+    return Mesh(arr, axis_names=("dp", "pp", "tp"))
 
 
-# PartitionSpecs for the stacked layer weights [L, ...]
+# PartitionSpecs for the stacked layer weights [L, ...]. The leading L axis is
+# split over "pp" (contiguous layer blocks per stage, the reference's
+# GptNeoXDecoder.cc:94-120 layout); a size-1 pp axis makes it a no-op.
 LAYER_SPECS = {
-    "ln1_w": P(),
-    "ln1_b": P(),
-    "qkv_w": P(None, None, "tp"),  # [L, H, nH*3*dh] heads-major flat — head split
-    "qkv_b": P(None, "tp"),
-    "proj_w": P(None, "tp", None),  # [L, nH*dh, H] — row split
-    "proj_b": P(),
-    "ln2_w": P(),
-    "ln2_b": P(),
-    "up_w": P(None, None, "tp"),  # [L, H, I]
-    "up_b": P(None, "tp"),
-    "down_w": P(None, "tp", None),  # [L, I, H]
-    "down_b": P(),
+    "ln1_w": P("pp"),
+    "ln1_b": P("pp"),
+    "qkv_w": P("pp", None, "tp"),  # [L, H, nH*3*dh] heads-major flat — head split
+    "qkv_b": P("pp", "tp"),
+    "proj_w": P("pp", "tp", None),  # [L, nH*dh, H] — row split
+    "proj_b": P("pp"),
+    "ln2_w": P("pp"),
+    "ln2_b": P("pp"),
+    "up_w": P("pp", None, "tp"),  # [L, H, I]
+    "up_b": P("pp", "tp"),
+    "down_w": P("pp", "tp", None),  # [L, I, H]
+    "down_b": P("pp"),
 }
 
 TOP_SPECS = {
@@ -71,7 +75,14 @@ def _spec_for_quant(spec: P, qt: QuantizedTensor) -> P:
 def param_shardings(config: GptNeoXConfig, params: Params, mesh: Mesh):
     """Build a NamedSharding pytree matching ``params``' structure."""
 
+    def fix(spec):
+        # tolerate user-built meshes without a "pp" axis
+        if "pp" in mesh.shape:
+            return spec
+        return P(*[None if a == "pp" else a for a in spec])
+
     def leaf(spec, value):
+        spec = fix(spec)
         if isinstance(value, QuantizedTensor):
             return QuantizedTensor(
                 q=NamedSharding(mesh, spec),
@@ -127,5 +138,7 @@ def shard_params(config: GptNeoXConfig, params: Params, mesh: Mesh) -> Params:
 
 
 def cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache [L, B, nH, S, dh]: batch on dp, heads on tp."""
+    """KV cache [L, B, nH, S, dh]: layers on pp, batch on dp, heads on tp."""
+    if "pp" in mesh.shape:
+        return NamedSharding(mesh, P("pp", "dp", "tp", None, None))
     return NamedSharding(mesh, P(None, "dp", "tp", None, None))

@@ -118,3 +118,83 @@ def test_one_allreduce_per_layer_decode():
     # the vocab-sharded logits path). Anything more means GSPMD split the
     # parallel residual into separate attention/ffn reductions.
     assert 0 < n_all_reduce <= 2, f"unexpected all-reduce count {n_all_reduce}\n"
+
+
+def pp_cfg():
+    # 4 layers so pp in {2, 4} divides the stack
+    return GptNeoXConfig.tiny(
+        head_num=8, size_per_head=8, vocab_size=128, inter_size=256, layer_num=4
+    )
+
+
+@pytest.mark.parametrize("tp,pp", [(1, 4), (2, 2)])
+def test_pp_matches_single_device(tp, pp):
+    """Pipeline stages (layers split over the "pp" axis, shard_map +
+    ppermute edge handoff) must be numerically identical to the unsharded
+    engine — incl. composed with TP (GSPMD-auto inside each stage)."""
+    cfg = pp_cfg()
+    params = init_params(cfg, dtype="fp32")
+    ref = run_engine(cfg, params)
+    mesh = build_mesh(tp=tp, pp=pp)
+    out = run_engine(cfg, params, mesh=mesh, tp=tp)
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
+    np.testing.assert_array_equal(ref.sequence_lengths, out.sequence_lengths)
+    np.testing.assert_allclose(ref.cum_log_probs, out.cum_log_probs, atol=1e-4)
+
+
+def test_pp_int8_matches_single_device():
+    cfg = pp_cfg()
+    params = quantize_params(init_params(cfg, dtype="fp32"))
+    ref = run_engine(cfg, params, int8=1)
+    mesh = build_mesh(tp=2, pp=2)
+    out = run_engine(cfg, params, mesh=mesh, tp=2, int8=1)
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
+
+
+def test_pp_beam_matches_single_device():
+    """Beam search (fixed-cache indirection) through the pipeline path."""
+    cfg = pp_cfg()
+    params = init_params(cfg, dtype="fp32")
+
+    def beam_run(mesh, tp):
+        eng = GptNeoXEngine(
+            cfg, params,
+            RuntimeConfig(dtype="fp32", seq_bucket=4, tensor_para_size=tp),
+            mesh=mesh,
+        )
+        return eng.generate(PROMPTS, output_len=5, beam_width=2)
+
+    ref = beam_run(None, 1)
+    out = beam_run(build_mesh(tp=1, pp=2), 1)
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
+    np.testing.assert_allclose(ref.cum_log_probs, out.cum_log_probs, atol=1e-4)
+
+
+def test_pp_collective_permute_at_stage_edges():
+    """The compiled decode step must move activations between stages with
+    collective-permute (ppermute) — not all-gathers of layer weights."""
+    from fastertransformer4codefuse_tpu.parallel import pipeline
+
+    cfg = pp_cfg()
+    pp = 4
+    mesh = build_mesh(tp=1, pp=pp)
+    params = shard_params(cfg, init_params(cfg, dtype="fp32"), mesh)
+
+    B, T = 2, 16
+    cache = model.init_kv_cache(cfg, B, T, jnp.float32)
+    from fastertransformer4codefuse_tpu.parallel.sharding import cache_sharding
+    cache = jax.device_put(cache, cache_sharding(mesh))
+
+    def step(params, tokens, positions, cache):
+        return pipeline.decode_step(cfg, mesh, params, tokens, positions, cache)
+
+    tokens = jnp.zeros((B,), jnp.int32)
+    positions = jnp.full((B,), 3, jnp.int32)
+    hlo = jax.jit(step).lower(params, tokens, positions, cache).compile().as_text()
+    assert "collective-permute" in hlo, "no ppermute at stage edges"
+    # stage weights must never be all-gathered: any all-gather over the
+    # full layer-stacked weight shape would show a gather of the [L, H, ...]
+    # qkv slab; assert none of the big weight shapes appear in all-gathers
+    import re as _re
+    for m in _re.findall(r"all-gather[^\n]*", hlo):
+        assert "f32[4,64,192]" not in m, f"layer weights all-gathered: {m}"
