@@ -114,8 +114,6 @@ class GptNeoXEngine:
         self.mesh = mesh
         self.params = params
         self._generate_cache: Dict[_Statics, Callable] = {}
-        self._prefill_cache: Dict[_Statics, Callable] = {}
-        self._step_cache: Dict[_Statics, Callable] = {}
         backend = jax.default_backend()
         set_use_pallas(self.runtime.use_pallas and backend == "tpu")
         set_on_tpu(backend == "tpu")
@@ -315,26 +313,100 @@ class GptNeoXEngine:
         self._generate_cache[st] = fn
         return fn
 
-    def _get_stream_fns(self, st: _Statics):
-        if st not in self._prefill_cache:
-            self._prefill_cache[st] = jax.jit(
-                lambda params, inputs: self._prefill_state(st, params, inputs)
+    # --------------------------------------------------- fused-loop streaming --
+    def _stream_sink(self, newest, seq_lens, valid, final):
+        """Host side of the in-loop ordered io_callback: enqueue one step's
+        newest tokens. Runs on the JAX callback thread while the device is
+        still executing the fused generation loop."""
+        q = getattr(self, "_active_stream_q", None)
+        if q is not None:
+            if bool(valid):
+                q.put(("msg", np.asarray(newest), np.asarray(seq_lens)))
+            if bool(final):
+                q.put(("end", None, None))
+
+    def _get_stream_fused_fn(self, st: _Statics):
+        """Whole-generation jitted program that EMITS each step's tokens from
+        inside the lax.while_loop via ordered io_callback — streaming without
+        a per-token host dispatch+sync round-trip. Beats the reference's
+        blocking per-step D2H callback (pybind_callback_utils.cc:36-76): the
+        device never waits for the host; only [B] ints cross per step."""
+        from jax.experimental import io_callback
+
+        key = ("fused_stream", st)
+        if key in self._generate_cache:
+            return self._generate_cache[key]
+
+        def emit(s, valid, final):
+            io_callback(
+                self._stream_sink, None,
+                s.newest, s.seq_lens, valid, final, ordered=True,
             )
-        if st not in self._step_cache:
-            def step(params, inputs, s):
+
+        def run(params, inputs):
+            s = self._prefill_state(st, params, inputs)
+
+            def cond(s):
+                return jnp.logical_and(
+                    s.gen_step < st.output_len - 1,
+                    jnp.logical_not(jnp.all(s.finished)),
+                )
+
+            def body(s):
                 s = self._sample_and_advance(st, params, inputs, s)
+                emit(s, jnp.bool_(True), jnp.bool_(False))
                 return self._forward_newest(st, params, s)
 
-            self._step_cache[st] = (
-                jax.jit(step, donate_argnums=(2,)),
-                jax.jit(
-                    lambda params, inputs, s: self._sample_and_advance(
-                        st, params, inputs, s
-                    ),
-                    donate_argnums=(2,),
-                ),
-            )
-        return self._prefill_cache[st], self._step_cache[st]
+            s = jax.lax.while_loop(cond, body, s)
+            # the final sample is a no-op when every row already finished —
+            # suppress its message then (the stepwise loop broke before it)
+            already_done = jnp.all(s.finished)
+            s = self._sample_and_advance(st, params, inputs, s)
+            emit(s, jnp.logical_not(already_done), jnp.bool_(True))
+            return s.tokens, s.seq_lens, s.cum_log_probs
+
+        fn = jax.jit(run)
+        self._generate_cache[key] = fn
+        return fn
+
+    def _generate_streaming(self, st: _Statics, inputs, callback):
+        """Run the fused streaming program, draining step messages to the
+        user callback on the calling thread while the device computes."""
+        import queue
+        import threading
+
+        fn = self._get_stream_fused_fn(st)
+        q: "queue.Queue" = queue.Queue()
+        self._active_stream_q = q
+        in_lens = np.asarray(inputs["input_lengths"])
+        try:
+            results = fn(self.params, inputs)  # async dispatch
+
+            def waiter():
+                # fallback completion/error signal (the ordered "end" emit is
+                # the primary one and always precedes buffer finalization)
+                try:
+                    jax.block_until_ready(results)
+                    q.put(("end", None, None))
+                except Exception as e:  # noqa: BLE001 — surfaced to caller
+                    q.put(("err", e, None))
+
+            threading.Thread(target=waiter, daemon=True).start()
+            while True:
+                kind, a, b = q.get()
+                if kind == "msg":
+                    cb_tokens = [[int(t)] for t in a]
+                    cb_idxs = [
+                        [int(b[i] - in_lens[i] - 1)] for i in range(st.batch)
+                    ]
+                    callback({"last_tokens": cb_tokens, "idxs": cb_idxs})
+                elif kind == "err":
+                    raise a
+                else:
+                    break
+            return jax.device_get(results)
+        finally:
+            self._active_stream_q = None
 
     # -------------------------------------------------------------- host API --
     def _prepare(
@@ -480,32 +552,15 @@ class GptNeoXEngine:
             fn = self._get_generate_fn(st)
             tokens, seq_lens, cum_lp = jax.device_get(fn(self.params, inputs))
         else:
-            prefill_fn, (step_fn, final_fn) = self._get_stream_fns(st)
-            s = prefill_fn(self.params, inputs)
-            in_lens = np.asarray(inputs["input_lengths"])
-            for i in range(st.output_len):
-                s = (final_fn if i == st.output_len - 1 else step_fn)(
-                    self.params, inputs, s
-                )
-                newest, seq_lens_d, finished = jax.device_get(
-                    (s.newest, s.seq_lens, s.finished)
-                )
-                # Per-row repeat suppression matches the reference's
-                # last_seq_length logic (pybind_callback_utils.cc:79-84): a row
-                # whose length stopped advancing keeps emitting end_id
-                # (s.newest is forced to end_id for finished rows in
-                # _sample_and_advance). idx is the 0-based index of the newest
-                # token within the generated region (seq_idx - input_length,
-                # pybind_callback_utils.cc:88).
-                cb_tokens = [[int(newest[b])] for b in range(st.batch)]
-                cb_idxs = [
-                    [int(seq_lens_d[b] - in_lens[b] - 1)] for b in range(st.batch)
-                ]
-                callback({"last_tokens": cb_tokens, "idxs": cb_idxs})
-                if finished.all():
-                    break
-            tokens, seq_lens, cum_lp = jax.device_get(
-                (s.tokens, s.seq_lens, s.cum_log_probs)
+            # Fused-loop streaming: the whole generation stays ONE jitted
+            # while_loop; each step's newest [B] tokens surface through an
+            # ordered io_callback (no per-token dispatch+sync round-trip).
+            # Per-row repeat semantics match the reference's last_seq_length
+            # logic (pybind_callback_utils.cc:79-88): finished rows keep
+            # emitting end_id with a stale idx (newest is forced to end_id in
+            # _sample_and_advance and seq_lens stops advancing).
+            tokens, seq_lens, cum_lp = self._generate_streaming(
+                st, inputs, callback
             )
 
         return GenerationOutput(
