@@ -62,9 +62,7 @@ def run_once(eng, in_len, out_len, rng):
     return dt
 
 
-def main():
-    rng = np.random.default_rng(0)
-    attempts = [
+ATTEMPTS = [
         # (name, int8_mode, weight_bits, group, kv_dtype, in, out, per-chip ref tok/s)
         # ALL configs are reported every run (the bit-matched int8 rows as well
         # as the W4 headline); the headline prints LAST. The headline is W4A16
@@ -77,34 +75,60 @@ def main():
         ("codefuse13b-int8-1024in-512out", 2, 8, 0, "int8", 1024, 512, 72.6),
         ("codefuse13b-int4w-int8kv-1024in-512out", 2, 4, 0, "int8", 1024, 512, 72.6),
         ("codefuse13b-int4w-g128-int8kv-1024in-512out", 2, 4, 128, "int8", 1024, 512, 72.6),
-    ]
-    ok = 0
-    for name, mode, bits, gs, kv, in_len, out_len, ref in attempts:
-        try:
-            cfg, eng = build(mode, kv, 128 if in_len >= 128 else 64,
-                             weight_bits=bits, group_size=gs)
-            run_once(eng, in_len, out_len, rng)  # compile + warm
-            dt = min(run_once(eng, in_len, out_len, rng) for _ in range(3))
-            toks = out_len / dt
-            print(
-                json.dumps(
-                    {
-                        "metric": f"tokens_per_sec_per_chip:{name}",
-                        "value": round(toks, 2),
-                        "unit": "tok/s",
-                        "vs_baseline": round(toks / ref, 3),
-                    }
-                ),
-                flush=True,
-            )
-            ok += 1
-            del eng  # free the 13B weights before building the next config
-        except Exception as e:  # noqa: BLE001 — report and move to the next config
-            print(f"# bench config {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+]
+
+
+def run_config(name):
+    """Run one named config and print its JSON line (child-process entry)."""
+    rng = np.random.default_rng(0)
+    for cname, mode, bits, gs, kv, in_len, out_len, ref in ATTEMPTS:
+        if cname != name:
             continue
+        cfg, eng = build(mode, kv, 128 if in_len >= 128 else 64,
+                         weight_bits=bits, group_size=gs)
+        run_once(eng, in_len, out_len, rng)  # compile + warm
+        dt = min(run_once(eng, in_len, out_len, rng) for _ in range(3))
+        toks = out_len / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"tokens_per_sec_per_chip:{name}",
+                    "value": round(toks, 2),
+                    "unit": "tok/s",
+                    "vs_baseline": round(toks / ref, 3),
+                }
+            ),
+            flush=True,
+        )
+        return
+    raise SystemExit(f"unknown config {name}")
+
+
+def main():
+    # Each config runs in its own subprocess: a 13B engine is ~14GB of HBM and
+    # the TPU runtime does not reliably return it to the allocator across
+    # engine rebuilds in one process, so config 2+ would RESOURCE_EXHAUSTED.
+    import subprocess
+
+    ok = 0
+    for name, *_ in ATTEMPTS:
+        r = subprocess.run(
+            [sys.executable, __file__, "--config", name],
+            capture_output=True, text=True, timeout=1800,
+        )
+        out = r.stdout.strip()
+        if r.returncode == 0 and out:
+            print(out.splitlines()[-1], flush=True)
+            ok += 1
+        else:
+            tail = (r.stderr or "").strip().splitlines()[-3:]
+            print(f"# bench config {name} failed: {' | '.join(tail)}", file=sys.stderr)
     if not ok:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "tok/s", "vs_baseline": 0}))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--config":
+        run_config(sys.argv[2])
+    else:
+        main()

@@ -9,9 +9,10 @@ full tensors â€” sharding happens later via GSPMD placement, not at load time â€
 and the reference's divided-by-TP shared biases are multiplied back.
 
 INT8 note: the reference's ``.q.bin`` files are CUTLASS-preprocessed
-(interleaved/permuted for tensor-core LDSM, WeightOnlyQuantOps.cc:235-313) and
-cannot be loaded here; this loader reads the plain row-major int8 layout that
-``ckpt.quantize`` writes. Use fp16/fp32 checkpoints for cross-engine interop.
+(interleaved/permuted for tensor-core LDSM, WeightOnlyQuantOps.cc:235-313).
+Pass ``q_layout="cutlass"`` to undo that preprocessing at load time
+(``ckpt.cutlass_interop``); the default ``q_layout="plain"`` reads the plain
+row-major int8 layout that ``ckpt.quantize`` writes.
 """
 from __future__ import annotations
 
@@ -87,6 +88,7 @@ def load_bin_checkpoint(
     weight_bits: int = 8,
     group_size: int = 0,
     num_threads: int = 16,
+    q_layout: str = "plain",
 ) -> tuple:
     """Load a reference-format checkpoint dir. Returns (config, params)."""
     if config is None:
@@ -223,12 +225,20 @@ def load_bin_checkpoint(
             per-output scales, so ranks are dequantized and requantized whole
             (the reference instead keeps per-rank scales on per-rank GPUs)."""
             qs, ss = [], []
+            def _rank_q(p):
+                flat = _view(p, np.int8)
+                if q_layout == "cutlass":
+                    # reference payloads are CUTLASS-preprocessed per rank
+                    # matrix [rows, prod(cols)]; undo to row-major int8
+                    from .cutlass_interop import unpreprocess_weights
+
+                    rows = rank_q_shape[0]
+                    flat = unpreprocess_weights(flat, rows, flat.size // rows)
+                return flat.reshape(rank_q_shape)
+
             for i in range(L):
                 base = base_fmt.format(i)
-                qparts = [
-                    _view(p, np.int8).reshape(rank_q_shape)
-                    for p in _q_rank_files(base, "q")
-                ]
+                qparts = [_rank_q(p) for p in _q_rank_files(base, "q")]
                 sparts = [
                     _view(p, wdt).reshape(rank_s_shape)
                     for p in _q_rank_files(base, "s")
