@@ -213,3 +213,15 @@ class RuntimeConfig:
     pipeline_para_size: int = 1
     logits_dtype: str = "fp32"
     donate_cache: bool = True
+    # Debug/verification mode — the analog of the reference's FT_DEBUG_LEVEL
+    # forced-sync checking (utils/cuda_utils.h:129-154). "DEBUG" (or the
+    # FT_DEBUG_LEVEL env var set to DEBUG) makes generate() first run a
+    # checkified prefill + decode step with layer-attributed NaN/Inf checks
+    # (utils/debug.py). Empty = off (zero overhead, checks compile away).
+    debug_level: str = ""
+
+    def debug_enabled(self) -> bool:
+        import os
+
+        lvl = self.debug_level or os.environ.get("FT_DEBUG_LEVEL", "")
+        return lvl.upper() == "DEBUG"

@@ -537,6 +537,16 @@ class GptNeoXEngine:
         (gen_idx = 0-based index within the generated region) — the reference's
         callback message format
         (th_op/gptneox/utils/pybind_callback_utils.cc:86-99)."""
+        if self.runtime.debug_enabled():
+            # FT_DEBUG_LEVEL=DEBUG analog: layer-attributed NaN/Inf sweep of
+            # weights + a checkified prefill/decode step before generating.
+            from ..utils.debug import debug_verify
+
+            lens = np.array([len(x) for x in input_ids], np.int32)
+            padded = np.full((len(input_ids), int(lens.max())), self.config.end_id, np.int32)
+            for i, ids in enumerate(input_ids):
+                padded[i, : len(ids)] = np.asarray(ids, np.int32)
+            debug_verify(self, padded, lens)
         if beam_width != 1:
             from ..sampling.beam import beam_search_generate
 
