@@ -3,20 +3,25 @@
 Capability beyond the reference: FasterTransformer4CodeFuse serves strictly
 static batches — one ``forward`` runs a whole batch to completion
 (GptNeoX.cc:386-1052) and new requests wait. Here a fixed pool of decode slots
-runs one fused decode step per tick; requests join by prefilling into a free
-slot's cache region and retire the moment they finish, so the chip never
+runs one fused decode step per tick; requests join by chunk-prefilling into a
+free slot's cache region and retire the moment they finish, so the chip never
 idles between requests of different lengths.
 
-Static-shape discipline (everything jit-cached):
-  - the slot pool is ``[max_slots]`` rows of a packed token buffer + stacked
-    KV cache sized ``max_seq_len``;
-  - admission prefills the prompt at a bucketed width and scatters the
-    resulting cache rows into the slot (one compiled program per bucket);
-  - every tick runs the same decode-step program over all slots; inactive
-    slots are masked finished.
+Static-shape discipline (everything jit-cached, three compiled programs total):
+  - ``admit``: writes a request's tokens + per-slot sampling params into a free
+    slot (no model compute);
+  - ``chunk``: advances every mid-prefill slot by one ``prompt_bucket``-wide
+    chunk through the layer stack (models.prefill_chunk) — admission therefore
+    never stalls the decode pool for a whole-prompt prefill;
+  - ``step``: one decode tick over all slots whose prefill is complete, running
+    the FULL processor stack (optional-last-tokens, bad-words, temperature,
+    repetition/presence penalties, min-length, capped top-k/top-p, stop-words)
+    with per-slot heterogeneous parameters — the same semantics and order as
+    the one-shot engine's _sample_and_advance (DynamicDecodeLayer.cc:192-497).
 
-The per-slot sampling state reuses the engine's processor stack (temperature,
-penalties, stop words... — same semantics as the one-shot path).
+Per-request streaming: ``on_token`` receives raw ids; ``on_text`` routes
+through the incremental detokenizer (api.detok.TokenStreamDecoder) when a
+``tokenizer`` is attached to the request.
 """
 from __future__ import annotations
 
@@ -30,8 +35,25 @@ import numpy as np
 
 from ..models import gptneox as model
 from ..sampling import processors as proc
-from ..sampling.sample import sample_top_k_top_p
+from ..sampling.sample import sample_top_k_top_p_capped
 from .engine import GptNeoXEngine
+
+
+def encode_word_list(words: Optional[Sequence[Sequence[int]]], width: int) -> np.ndarray:
+    """[[token ids]] -> the reference's [2, width] flat-ids + cumulative-offsets
+    row pair (api.wordlist format, -1 padded). Single-request variant."""
+    out = np.full((2, width), -1, np.int32)
+    if not words:
+        return out
+    flat: List[int] = []
+    offs: List[int] = []
+    for w in words:
+        flat.extend(int(t) for t in w)
+        offs.append(len(flat))
+    assert len(flat) <= width, f"word list ({len(flat)} ids) exceeds pool width {width}"
+    out[0, : len(flat)] = flat
+    out[1, : len(offs)] = offs
+    return out
 
 
 @dataclasses.dataclass
@@ -43,12 +65,22 @@ class Request:
     top_p: float = 0.0
     temperature: float = 1.0
     repetition_penalty: float = 1.0
+    presence_penalty: float = 0.0
+    min_length: int = 0
     random_seed: int = 0
+    stop_words: Optional[Sequence[Sequence[int]]] = None
+    bad_words: Optional[Sequence[Sequence[int]]] = None
+    optional_last_tokens: Optional[Sequence[int]] = None
+    # streaming hooks
+    on_token: Optional[Callable[[int], None]] = None
+    on_text: Optional[Callable[[str], None]] = None
+    tokenizer: Optional[object] = None
     # filled on completion
     output_ids: Optional[List[int]] = None
     done: bool = False
     slot: int = -1
-    on_token: Optional[Callable[[int], None]] = None
+    _decoder: Optional[object] = None
+    _chunks_left: int = 0
 
 
 class ContinuousBatcher:
@@ -60,16 +92,27 @@ class ContinuousBatcher:
         max_slots: int = 8,
         max_seq_len: int = 2048,
         prompt_bucket: int = 128,
+        stop_words_width: int = 16,
+        bad_words_width: int = 16,
+        optional_last_width: int = 8,
+        sampling_cap: int = 64,
     ):
+        assert max_seq_len % prompt_bucket == 0, "max_seq_len must be a multiple of prompt_bucket"
         self.engine = engine
         self.cfg = engine.config
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
         self.prompt_bucket = prompt_bucket
+        self.stop_words_width = stop_words_width
+        self.bad_words_width = bad_words_width
+        self.optional_last_width = optional_last_width
+        self.sampling_cap = sampling_cap
         self._uid = itertools.count()
         self.pending: List[Request] = []
         self.running: Dict[int, Request] = {}  # slot -> request
-        self._prefill_cache: Dict[int, Callable] = {}
+        self.requests: Dict[int, Request] = {}  # uid -> every submitted request
+        self._admit_fn = None
+        self._chunk_fn = None
         self._step_fn = None
         self._state = self._init_state()
 
@@ -82,12 +125,18 @@ class ContinuousBatcher:
             "seq_lens": jnp.zeros((B,), jnp.int32),
             "stop_at": jnp.zeros((B,), jnp.int32),  # seq_len limit per slot
             "input_lens": jnp.zeros((B,), jnp.int32),
+            "prefill_pos": jnp.zeros((B,), jnp.int32),  # cache slots filled so far
             "active": jnp.zeros((B,), jnp.bool_),
             "cache": cache,
             "top_k": jnp.ones((B,), jnp.int32),
             "top_p": jnp.zeros((B,), jnp.float32),
             "temperature": jnp.ones((B,), jnp.float32),
             "rep_penalty": jnp.ones((B,), jnp.float32),
+            "pres_penalty": jnp.zeros((B,), jnp.float32),
+            "min_length": jnp.zeros((B,), jnp.int32),
+            "stop_words": jnp.full((B, 2, self.stop_words_width), -1, jnp.int32),
+            "bad_words": jnp.full((B, 2, self.bad_words_width), -1, jnp.int32),
+            "olt": jnp.full((B, self.optional_last_width), -1, jnp.int32),
             "base_keys": jnp.zeros((B, 2), jnp.uint32),
             "steps": jnp.zeros((B,), jnp.int32),
         }
@@ -95,71 +144,62 @@ class ContinuousBatcher:
     # -------------------------------------------------------- admission ----
     def submit(self, prompt: Sequence[int], output_len: int, **kw) -> int:
         r = Request(uid=next(self._uid), prompt=list(prompt), output_len=output_len, **kw)
+        assert 1 <= r.top_k <= self.sampling_cap, (
+            f"pool supports top_k in [1, {self.sampling_cap}]"
+        )
         self.pending.append(r)
+        self.requests[r.uid] = r
         return r.uid
 
     def _free_slots(self) -> List[int]:
         return [b for b in range(self.max_slots) if b not in self.running]
 
-    def _get_prefill_fn(self, width: int):
-        fn = self._prefill_cache.get(width)
-        if fn is not None:
-            return fn
-        cfg = self.cfg
+    def _get_admit_fn(self):
+        if self._admit_fn is not None:
+            return self._admit_fn
+        S = self.max_seq_len
+        end_id = self.cfg.end_id
 
-        def prefill_into_slot(params, state, slot, ids, in_len, stop_at,
-                              top_k, top_p, temperature, rep_penalty, seed):
-            # single-sequence prefill over its own small cache, then scatter
-            # the filled rows into the pool cache at `slot`
-            tmp_cache = model.init_kv_cache(cfg, 1, width, self.engine._cache_dtype())
-            hidden, tmp_cache = model.prefill(
-                cfg, params, ids[None, :], in_len[None], tmp_cache
-            )
-            pool = dict(state["cache"])
-            for k, v in tmp_cache.items():
-                # pool[k]: [L, B, nH, S(, dh)]; v: [L, 1, nH, width(, dh)]
-                pool[k] = jax.lax.dynamic_update_slice(
-                    state["cache"][k],
-                    v.astype(state["cache"][k].dtype),
-                    (0, slot) + (0,) * (v.ndim - 2),
-                )
-            tokens = jax.lax.dynamic_update_slice(
-                state["tokens"],
-                jnp.full((1, self.max_seq_len), cfg.end_id, jnp.int32)
-                .at[0, :width].set(ids),
-                (slot, 0),
-            )
+        def admit(state, slot, ids, in_len, stop_at, top_k, top_p, temperature,
+                  rep_penalty, pres_penalty, min_length, stop_w, bad_w, olt, seed):
+            row = jnp.full((S,), end_id, jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, ids, (0,))
+            row = jnp.where(jnp.arange(S) < in_len, row, end_id)
             st = dict(state)
-            st["cache"] = pool
-            st["tokens"] = tokens
+            st["tokens"] = state["tokens"].at[slot].set(row)
             st["seq_lens"] = state["seq_lens"].at[slot].set(in_len)
             st["input_lens"] = state["input_lens"].at[slot].set(in_len)
+            st["prefill_pos"] = state["prefill_pos"].at[slot].set(0)
             st["stop_at"] = state["stop_at"].at[slot].set(stop_at)
             st["active"] = state["active"].at[slot].set(True)
             st["top_k"] = state["top_k"].at[slot].set(top_k)
             st["top_p"] = state["top_p"].at[slot].set(top_p)
             st["temperature"] = state["temperature"].at[slot].set(temperature)
             st["rep_penalty"] = state["rep_penalty"].at[slot].set(rep_penalty)
+            st["pres_penalty"] = state["pres_penalty"].at[slot].set(pres_penalty)
+            st["min_length"] = state["min_length"].at[slot].set(min_length)
+            st["stop_words"] = state["stop_words"].at[slot].set(stop_w)
+            st["bad_words"] = state["bad_words"].at[slot].set(bad_w)
+            st["olt"] = state["olt"].at[slot].set(olt)
             st["base_keys"] = state["base_keys"].at[slot].set(jax.random.PRNGKey(seed))
             st["steps"] = state["steps"].at[slot].set(0)
             return st
 
-        fn = jax.jit(prefill_into_slot, donate_argnums=(1,))
-        self._prefill_cache[width] = fn
-        return fn
+        self._admit_fn = jax.jit(admit, donate_argnums=(0,))
+        return self._admit_fn
 
     def _admit(self, r: Request, slot: int) -> None:
-        width = min(
-            -(-len(r.prompt) // self.prompt_bucket) * self.prompt_bucket,
-            self.max_seq_len,
-        )
-        width = max(width, self.prompt_bucket)
-        ids = np.full((width,), self.cfg.end_id, np.int32)
+        assert len(r.prompt) + r.output_len <= self.max_seq_len
+        W = self.max_seq_len
+        ids = np.full((W,), self.cfg.end_id, np.int32)
         ids[: len(r.prompt)] = r.prompt
         stop_at = min(len(r.prompt) + r.output_len, self.max_seq_len)
-        fn = self._get_prefill_fn(width)
-        self._state = fn(
-            self.engine.params,
+        olt = np.full((self.optional_last_width,), -1, np.int32)
+        if r.optional_last_tokens:
+            cand = list(r.optional_last_tokens)
+            assert len(cand) <= self.optional_last_width
+            olt[: len(cand)] = cand
+        self._state = self._get_admit_fn()(
             self._state,
             slot,
             jnp.asarray(ids),
@@ -169,10 +209,53 @@ class ContinuousBatcher:
             jnp.float32(r.top_p),
             jnp.float32(r.temperature),
             jnp.float32(r.repetition_penalty),
+            jnp.float32(r.presence_penalty),
+            jnp.int32(r.min_length),
+            jnp.asarray(encode_word_list(r.stop_words, self.stop_words_width)),
+            jnp.asarray(encode_word_list(r.bad_words, self.bad_words_width)),
+            jnp.asarray(olt),
             jnp.uint32(r.random_seed),
         )
         r.slot = slot
+        # host mirror of the device-side prefill progress (deterministic:
+        # chunk() advances every mid-prefill slot by one bucket per tick)
+        r._chunks_left = -(-max(len(r.prompt) - 1, 0) // self.prompt_bucket)
         self.running[slot] = r
+        if r.on_text is not None and r.tokenizer is not None:
+            from ..api.detok import TokenStreamDecoder
+
+            r._decoder = TokenStreamDecoder(
+                self.cfg.end_id, r.tokenizer, on_text=r.on_text
+            )
+
+    # ------------------------------------------------------ chunk prefill --
+    def _prefill_target(self, state):
+        # the final prompt token is recomputed by the first decode tick
+        # (write + logits in one step), so chunks cover [0, in_len - 1)
+        return jnp.maximum(state["input_lens"] - 1, 0)
+
+    def _get_chunk_fn(self):
+        if self._chunk_fn is not None:
+            return self._chunk_fn
+        cfg, C, B = self.cfg, self.prompt_bucket, self.max_slots
+
+        def chunk(params, state):
+            target = jnp.maximum(state["input_lens"] - 1, 0)
+            prefilling = state["active"] & (state["prefill_pos"] < target)
+            pos = jnp.clip(state["prefill_pos"], 0, self.max_seq_len - C)
+            rows = jnp.arange(B)[:, None]
+            cols = jnp.clip(pos[:, None] + jnp.arange(C)[None, :], 0, self.max_seq_len - 1)
+            tok_chunk = state["tokens"][rows, cols]  # [B, C]
+            _, cache = model.prefill_chunk(
+                cfg, params, tok_chunk, pos, state["cache"], prefilling
+            )
+            st = dict(state)
+            st["cache"] = cache
+            st["prefill_pos"] = jnp.where(prefilling, state["prefill_pos"] + C, state["prefill_pos"])
+            return st
+
+        self._chunk_fn = jax.jit(chunk, donate_argnums=(1,))
+        return self._chunk_fn
 
     # ------------------------------------------------------------- tick ----
     def _get_step_fn(self):
@@ -183,47 +266,73 @@ class ContinuousBatcher:
         B, S = self.max_slots, self.max_seq_len
 
         def step(params, state):
-            # forward the last real token of every slot (inactive slots run a
-            # dummy position-0 token; their writes land in already-dead space)
+            target = jnp.maximum(state["input_lens"] - 1, 0)
+            ready = state["active"] & (state["prefill_pos"] >= target)
+            # forward the last real token of every ready slot; other rows run a
+            # dummy position-0 token with kv_skip so their cache is untouched
             positions = jnp.clip(state["seq_lens"] - 1, 0, S - 1)
             newest = state["tokens"][jnp.arange(B), positions]
             hidden, cache = model.decode_step(
-                cfg, params, newest, jnp.where(state["active"], positions, 0),
-                state["cache"],
+                cfg, params, newest, jnp.where(ready, positions, 0),
+                state["cache"], kv_skip=~ready,
             )
             logits = model.lm_logits(cfg, params, hidden)
 
+            # full processor stack, engine order (_sample_and_advance):
+            # optional-last -> bad-words -> temperature -> rep/pres -> min-len
+            first_step = state["steps"] == 0
+            masked = proc.apply_optional_last_tokens(
+                logits, state["olt"], 1, True
+            )
+            logits = jnp.where(first_step[:, None], masked, logits)
+            logits = proc.ban_bad_words(
+                logits, state["tokens"], state["seq_lens"], state["bad_words"], 1
+            )
             logits = proc.apply_temperature(logits, state["temperature"])
             buf_valid = jnp.arange(S)[None, :] < state["seq_lens"][:, None]
             logits = proc.apply_repetition_penalty(
                 logits, state["tokens"], buf_valid, state["rep_penalty"]
             )
+            logits = proc.apply_presence_penalty(
+                logits, state["tokens"], buf_valid, state["pres_penalty"]
+            )
+            gen_lens = state["seq_lens"] - state["input_lens"]
+            logits = proc.apply_min_length(
+                logits, gen_lens, state["min_length"], end_id
+            )
+
             rngs = jax.vmap(jax.random.fold_in)(state["base_keys"], state["steps"])
-            res = sample_top_k_top_p(rngs, logits, state["top_k"], state["top_p"])
-            tok = jnp.where(state["active"], res.tokens, end_id)
+            res = sample_top_k_top_p_capped(
+                rngs, logits, state["top_k"], state["top_p"], cap=self.sampling_cap
+            )
+            tok = jnp.where(ready, res.tokens, end_id)
 
             write_idx = jnp.clip(state["seq_lens"], 0, S - 1)
             tokens = state["tokens"].at[jnp.arange(B), write_idx].set(
-                jnp.where(state["active"], tok, state["tokens"][jnp.arange(B), write_idx])
+                jnp.where(ready, tok, state["tokens"][jnp.arange(B), write_idx])
             )
-            seq_lens = state["seq_lens"] + jnp.where(state["active"], 1, 0)
-            finished = state["active"] & (
-                (tok == end_id) | (seq_lens >= state["stop_at"])
+            seq_lens = state["seq_lens"] + jnp.where(ready, 1, 0)
+            finished = ready & ((tok == end_id) | (seq_lens >= state["stop_at"]))
+            finished = finished | (
+                ready & proc.stop_words_criterion(
+                    tokens, seq_lens, state["stop_words"], 1
+                )
             )
             st = dict(state)
             st["cache"] = cache
             st["tokens"] = tokens
             st["seq_lens"] = seq_lens
             st["active"] = state["active"] & ~finished
-            st["steps"] = state["steps"] + 1
-            return st, tok, finished
+            st["steps"] = state["steps"] + jnp.where(ready, 1, 0)
+            return st, tok, finished, ready
 
         self._step_fn = jax.jit(step, donate_argnums=(1,))
         return self._step_fn
 
     def step(self) -> List[Tuple[int, int, bool]]:
-        """Admit pending requests into free slots, run one decode tick.
-        Returns [(uid, token, finished)] for slots that produced a token."""
+        """Admit pending requests into free slots, advance chunked prefills by
+        one chunk, run one decode tick. Returns [(uid, token, finished)] for
+        slots that produced a token this tick."""
         for slot in self._free_slots():
             if not self.pending:
                 break
@@ -231,37 +340,47 @@ class ContinuousBatcher:
         if not self.running:
             return []
 
-        fn = self._get_step_fn()
-        self._state, tok, finished = fn(self.engine.params, self._state)
-        tok_h, fin_h = jax.device_get((tok, finished))
+        state = self._state
+        # one prefill chunk for any mid-prefill slot, overlapping with decode
+        # ticks of the already-running slots (admission never stalls the pool)
+        if any(r._chunks_left > 0 for r in self.running.values()):
+            state = self._get_chunk_fn()(self.engine.params, state)
+            for r in self.running.values():
+                if r._chunks_left > 0:
+                    r._chunks_left -= 1
+
+        self._state, tok, finished, ready = self._get_step_fn()(
+            self.engine.params, state
+        )
+        tok_h, fin_h, ready_h = jax.device_get((tok, finished, ready))
 
         emitted = []
         for slot, r in list(self.running.items()):
+            if not bool(ready_h[slot]):
+                continue  # still chunk-prefilling this tick
             t = int(tok_h[slot])
             done = bool(fin_h[slot])
             emitted.append((r.uid, t, done))
             if r.on_token is not None:
                 r.on_token(t)
+            if r._decoder is not None:
+                r._decoder.append_token(t)
             if done:
                 row, n = jax.device_get(
                     (self._state["tokens"][slot], self._state["seq_lens"][slot])
                 )
                 r.output_ids = [int(x) for x in row[: int(n)]]
                 r.done = True
+                if r._decoder is not None and t != self.cfg.end_id:
+                    r._decoder.append_token(self.cfg.end_id)  # flush tail text
                 del self.running[slot]
         return emitted
 
     def run(self, max_ticks: int = 100000) -> Dict[int, Request]:
-        """Drive until every submitted request completes; returns uid->Request."""
-        finished: Dict[int, Request] = {}
-        all_reqs = {r.uid: r for r in self.pending} | {
-            r.uid: r for r in self.running.values()
-        }
+        """Drive until every submitted request completes; returns uid->Request
+        for every request ever submitted (including earlier-finished ones)."""
         for _ in range(max_ticks):
             if not self.pending and not self.running:
                 break
-            for uid, tok, done in self.step():
-                pass
-        for r in all_reqs.values():
-            finished[r.uid] = r
-        return finished
+            self.step()
+        return dict(self.requests)

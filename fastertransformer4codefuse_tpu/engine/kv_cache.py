@@ -160,6 +160,79 @@ def write_decode(
     return out
 
 
+def write_chunk(
+    cache: Cache, layer, k: jax.Array, v: jax.Array, pos: jax.Array,
+    active: jax.Array,
+) -> Cache:
+    """Write a C-token chunk per row into layer ``layer`` at per-row offsets.
+
+    k, v: [B, C, nH, dh]; pos [B] int32 (chunk start slot per row); active [B]
+    bool — rows with active=False keep their existing cache bytes (they may be
+    mid-generation while other slots chunk-prefill). Used by the continuous
+    batcher's chunked admission (the pool analog of write_prefill)."""
+    kt = k.transpose(0, 2, 1, 3)  # [B, nH, C, dh]
+    vt = v.transpose(0, 2, 1, 3)
+    out = dict(cache)
+    B, nH, C, dh = kt.shape
+
+    def upd(slab, new, b, p, a):
+        if slab.ndim == 5:
+            idx = (layer, b, 0, p, 0)
+            sizes = (1, 1, nH, C, dh)
+        else:  # scale slab [L, B, nH, S]
+            idx = (layer, b, 0, p)
+            sizes = (1, 1, nH, C)
+        old = jax.lax.dynamic_slice(slab, idx, sizes)
+        newe = jnp.where(a, new[None, None].astype(slab.dtype), old)
+        return jax.lax.dynamic_update_slice(slab, newe, idx)
+
+    if quantized(cache):
+        kq, ks = _quantize_vec(kt)
+        vq, vs = _quantize_vec(vt)
+        for b in range(B):
+            out["k"] = upd(out["k"], kq[b], b, pos[b], active[b])
+            out["v"] = upd(out["v"], vq[b], b, pos[b], active[b])
+            out["k_s"] = upd(out["k_s"], ks[b], b, pos[b], active[b])
+            out["v_s"] = upd(out["v_s"], vs[b], b, pos[b], active[b])
+    else:
+        for b in range(B):
+            out["k"] = upd(out["k"], kt[b], b, pos[b], active[b])
+            out["v"] = upd(out["v"], vt[b], b, pos[b], active[b])
+    return out
+
+
+def attend_chunk(
+    cache: Cache, layer, q: jax.Array, valid: jax.Array, sm_scale: float
+) -> jax.Array:
+    """C-query attention over layer ``layer`` of the full cache.
+
+    q [B, C, nH, dh]; valid [B, C, S] bool (causal-by-position per query).
+    Returns [B, C, nH, dh]. The multi-query generalization of attend_decode,
+    used for chunked prefill in the continuous batcher."""
+    cache_l = {
+        k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
+        for k, v in cache.items()
+    }
+    scores = jnp.einsum(
+        "bchd,bhsd->bchs", q, cache_l["k"].astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    if quantized(cache_l):
+        scores = scores * cache_l["k_s"][:, None].astype(jnp.float32)
+    scores = scores * sm_scale
+    scores = jnp.where(valid[:, :, None, :], scores, MASK_VALUE)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if quantized(cache_l):
+        pv = (probs * cache_l["v_s"][:, None].astype(jnp.float32)).astype(q.dtype)
+    else:
+        pv = probs.astype(cache_l["v"].dtype)
+    out = jnp.einsum(
+        "bchs,bhsd->bchd", pv, cache_l["v"].astype(pv.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 # engine-set: route int8-cache decode attention through the Pallas kernel

@@ -168,6 +168,79 @@ def block_decode(
     return out, cache
 
 
+def block_prefill_chunk(
+    config: GptNeoXConfig,
+    lp: Dict[str, Any],
+    x: jax.Array,  # [B, C, H] — C consecutive prompt tokens per row
+    cache: KVCache,
+    layer: jax.Array,
+    cos: jax.Array,  # [B, C, rot/2] at per-row chunk positions
+    sin: jax.Array,
+    pos: jax.Array,  # [B] int32 — chunk start slot per row
+    valid: jax.Array,  # [B, C, S_max] — keys visible to each query
+    active: jax.Array,  # [B] bool — rows actually prefilling (others preserved)
+):
+    """Chunked prefill block: like block_prefill but the chunk attends over the
+    already-filled pool cache (positions < pos + c). Lets the continuous
+    batcher admit prompts one chunk per tick instead of stalling the decode
+    pool for a whole-prompt prefill (the reference has no analog — its batches
+    are static, GptNeoX.cc:386-1052)."""
+    B, C, H = x.shape
+    sm_scale = 1.0 / (config.size_per_head ** 0.5)
+
+    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
+    q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, C, nH, dh]
+
+    cache = kvc.write_chunk(cache, layer, k, v, pos, active)
+    attn = kvc.attend_chunk(cache, layer, q, valid, sm_scale)  # [B, C, nH, dh]
+    attn_out = linear(attn.reshape(B, C, H), lp["proj_w"], layer=layer)
+
+    if config.use_gptj_residual:
+        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ffn_out = _ffn(config, lp, ln2, layer)
+        out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
+    else:
+        h = x + attn_out + lp["proj_b"].astype(x.dtype)
+        ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        out = h + _ffn(config, lp, ln2, layer) + lp["down_b"].astype(x.dtype)
+    return out, cache
+
+
+def prefill_chunk(
+    config: GptNeoXConfig,
+    params: Params,
+    tokens_chunk: jax.Array,  # [B, C] int32 — this tick's chunk per row
+    pos: jax.Array,  # [B] int32 — chunk start (multiple of C; < S_max)
+    cache: KVCache,
+    active: jax.Array,  # [B] bool — rows mid-prefill
+    rotary_tables=None,
+) -> Tuple[jax.Array, KVCache]:
+    """One chunked-prefill step over the whole layer stack.
+
+    Fills cache positions [pos, pos+C) for active rows; inactive rows'
+    cache bytes are preserved. Returns (hidden [B, C, H], cache)."""
+    B, C = tokens_chunk.shape
+    S = cache["k"].shape[3]
+    x = _embed_lookup(params, tokens_chunk)
+
+    if rotary_tables is None:
+        rotary_tables = make_rotary_tables(
+            S, config.rotary_embedding_dim, config.rotary_base
+        )
+    cos_t, sin_t = rotary_tables
+    posc = jnp.clip(pos[:, None] + jnp.arange(C)[None, :], 0, S - 1)  # [B, C]
+    cos = jnp.take(cos_t, posc, axis=0)  # [B, C, rot/2]
+    sin = jnp.take(sin_t, posc, axis=0)
+    # query at position pos+c sees keys at positions <= pos+c
+    valid = jnp.arange(S)[None, None, :] <= posc[:, :, None]  # [B, C, S]
+
+    fn = lambda lp, x, c, l: block_prefill_chunk(
+        config, lp, x, c, l, cos, sin, pos, valid, active
+    )
+    x, cache = _scan_layers(config, params, x, cache, fn)
+    return x, cache
+
+
 def _scan_layers(config, params, x, cache, per_layer_fn):
     """Run the layer stack via lax.scan over the layer index.
 
