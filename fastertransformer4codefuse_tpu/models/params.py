@@ -245,8 +245,9 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_
     def lm_head_weight(key):
         if int8_mode >= 2 and weight_bits == 4:
             # int4 head: transposed [H, V_pad] packed layout feeding the W4
-            # kernel (ckpt.quantize.quantize_lm_head_int4)
-            Vp = -(-V // 128) * 128
+            # kernel; V pads to a 2560 multiple for wide divisor tiles
+            # (ckpt.quantize.quantize_lm_head_int4)
+            Vp = -(-V // 2560) * 2560
             qkey, skey = jax.random.split(key)
             q = rand_i8(qkey, (H // 2, Vp))
             scale = jax.random.uniform(skey, (Vp,), jnp.float32, 0.5, 1.5) * std / 7.0

@@ -140,7 +140,12 @@ def quantized_matmul_transposed_head(x: jax.Array, w: QuantizedTensor) -> jax.Ar
     if w.bits == 4 and _ON_TPU and w.group_size == 0:
         from .quant_matmul_w4 import quant_matmul_w4_pallas
 
-        return quant_matmul_w4_pallas(x, w.q, w.scale, out_dtype=jnp.float32)
+        # bn=5120: the head's vocab axis is padded to a 2560 multiple at
+        # quantize time, so wide tiles divide; narrow (<=1024) tiles left the
+        # 129MB weight stream at ~24% of HBM SoL
+        return quant_matmul_w4_pallas(
+            x, w.q, w.scale, out_dtype=jnp.float32, bn=5120
+        )
     wk = w.unpack().astype(x.dtype)
     acc = jnp.dot(x, wk, preferred_element_type=jnp.float32)
     if w.group_size:

@@ -220,13 +220,13 @@ def test_int4_lm_head_matches_dequant():
     from fastertransformer4codefuse_tpu.ckpt.quantize import quantize_lm_head_int4
     from fastertransformer4codefuse_tpu.models import gptneox as model
 
-    cfg = GptNeoXConfig.tiny(vocab_size=70)  # pads to 128
+    cfg = GptNeoXConfig.tiny(vocab_size=70)  # pads to 2560 (wide-tile pad)
     from fastertransformer4codefuse_tpu import init_params
 
     params = init_params(cfg, dtype="fp32")
     w = params["lm_head"]
     qt = quantize_lm_head_int4(w)
-    assert qt.q.shape == (cfg.hidden_size // 2, 128)
+    assert qt.q.shape == (cfg.hidden_size // 2, 2560)
     params4 = dict(params, lm_head=qt)
 
     hidden = jax.random.normal(jax.random.PRNGKey(3), (2, cfg.hidden_size), jnp.float32)
