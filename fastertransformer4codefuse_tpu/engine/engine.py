@@ -55,6 +55,8 @@ class DecodeState(NamedTuple):
     cache: Any  # stacked KV cache pytree (engine.kv_cache)
     newest: jax.Array  # [B] int32 — token sampled this step (for streaming)
     beam_indir: Any = None  # [B, S] int32 — beam-search cache indirection (beam only)
+    pos_offset: Any = None  # [B] int32 — cache-slot/rotary offset of buffer
+    # index 0 (prompt-learning prefixes occupy cache slots [0, offset))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +79,8 @@ class _Statics:
     stop_words_len: int
     bad_words_len: int
     optional_last_count: int
+    prompt_width: int = 0  # padded prompt length P (0 = no prompt learning)
+    prompt_kind: str = "none"  # "none" | "prefix" | "soft"
 
 
 def _pad_to(x: np.ndarray, width: int, axis: int, value) -> np.ndarray:
@@ -122,6 +126,9 @@ class GptNeoXEngine:
 
         set_flash_decode(self.runtime.use_flash_decode and backend == "tpu")
         self._pp = 1
+        # Prompt-learning task table: {task_id: (kv [L, 2, nH, P, dh], length)}
+        # — the analog of gpt_weights->prompt_learning_table (GptNeoX.cc:483-501)
+        self._prompt_table: Dict[int, Tuple[np.ndarray, int]] = {}
         if mesh is not None:
             from ..parallel.sharding import shard_params
 
@@ -129,6 +136,58 @@ class GptNeoXEngine:
             self._pp = int(dict(mesh.shape).get("pp", 1))
             if self._pp > 1:
                 assert config.layer_num % self._pp == 0
+
+    # ------------------------------------------------------------ prompts --
+    def set_prompt_learning_table(self, table: Dict[int, Tuple[np.ndarray, int]]):
+        """Register prefix-prompt weights per task id.
+
+        ``table[task_id] = (kv, length)`` with kv ``[L, 2, nH, P, dh]`` — the
+        saved per-layer key/value states of a tuned prefix (the reference's
+        prompt_learning_table, utils/prompt_learning.h + GptNeoX.cc:483-501).
+        Requests select a task via ``prompt_learning_task_name_ids``."""
+        cfg = self.config
+        for tid, (kv, length) in table.items():
+            kv = np.asarray(kv)
+            assert kv.ndim == 5 and kv.shape[:3] == (cfg.layer_num, 2, cfg.head_num), (
+                tid, kv.shape)
+            assert kv.shape[4] == cfg.size_per_head and kv.shape[3] >= length
+        self._prompt_table = {t: (np.asarray(kv), int(n)) for t, (kv, n) in table.items()}
+
+    def _prepare_prompt(self, B, task_ids, soft_embedding, soft_lengths):
+        """Build the per-request prompt arrays. Returns (kind, width, extras)."""
+        cfg = self.config
+        if task_ids is not None:
+            assert soft_embedding is None, "prefix and soft prompts are exclusive"
+            task_ids = list(task_ids)
+            assert len(task_ids) == B
+            lens = np.array([self._prompt_table[t][1] for t in task_ids], np.int32)
+            P = max(int(lens.max()), 1)
+            P = -(-P // 8) * 8  # pad to bucket retraces (tail slots never valid)
+            k_pre = np.zeros((cfg.layer_num, B, cfg.head_num, P, cfg.size_per_head), np.float32)
+            v_pre = np.zeros_like(k_pre)
+            for b, t in enumerate(task_ids):
+                kv, n = self._prompt_table[t]
+                k_pre[:, b, :, :n] = kv[:, 0, :, :n]
+                v_pre[:, b, :, :n] = kv[:, 1, :, :n]
+            return "prefix", P, {
+                "prefix_k": jnp.asarray(k_pre),
+                "prefix_v": jnp.asarray(v_pre),
+                "prompt_lengths": jnp.asarray(lens),
+            }
+        if soft_embedding is not None:
+            emb = np.asarray(soft_embedding, np.float32)  # [B, P, H]
+            assert emb.ndim == 3 and emb.shape[0] == B and emb.shape[2] == cfg.hidden_size
+            if soft_lengths is None:
+                lens = np.full((B,), emb.shape[1], np.int32)
+            else:
+                lens = np.asarray(soft_lengths, np.int32)
+            P = -(-emb.shape[1] // 8) * 8
+            emb = _pad_to(emb, P, 1, 0.0)
+            return "soft", P, {
+                "prompt_embeds": jnp.asarray(emb),
+                "prompt_lengths": jnp.asarray(lens),
+            }
+        return "none", 0, {}
 
     # ------------------------------------------------------------------ core --
     def _cache_dtype(self):
@@ -233,8 +292,10 @@ class GptNeoXEngine:
         """
         cfg = self.config
         B, T = s.tokens.shape
-        positions = jnp.clip(s.seq_lens - 1, 0, T - 1)
-        newest = s.tokens[jnp.arange(B), positions]
+        buf_idx = jnp.clip(s.seq_lens - 1, 0, T - 1)
+        newest = s.tokens[jnp.arange(B), buf_idx]
+        # cache slot / rotary position = buffer index + prompt prefix offset
+        positions = buf_idx if s.pos_offset is None else buf_idx + s.pos_offset
         beam = (beam_width, s.beam_indir) if beam_width > 1 else None
         kv_skip = s.finished if beam_width > 1 else None
         if self._pp > 1:
@@ -256,9 +317,33 @@ class GptNeoXEngine:
         B = st.batch
         tokens = inputs["tokens"]  # [B, T] pre-filled buffer (input + end_id pad)
         input_lengths = inputs["input_lengths"]
-        cache = model.init_kv_cache(cfg, B, st.total_len, self._cache_dtype())
+        cache = model.init_kv_cache(
+            cfg, B, st.total_len + st.prompt_width, self._cache_dtype()
+        )
+        pos_offset = None
 
-        if self._pp > 1:
+        if st.prompt_width:
+            # Prompt learning (reference: GptNeoX.cc:443-509). The prompt
+            # occupies cache slots [0, p_len) per row; the input follows at
+            # [p_len, p_len + in_len) with rotary positions offset by p_len
+            # (unfused_attention_kernels.cu:1402 dst_kv_seq_idx).
+            from .kv_cache import write_prefix
+
+            pos_offset = inputs["prompt_lengths"]
+            active = jnp.ones((B,), jnp.bool_)
+            if st.prompt_kind == "prefix":
+                cache = write_prefix(cache, inputs["prefix_k"], inputs["prefix_v"])
+            else:  # soft: run the prompt embeddings through the stack at [0, P)
+                emb = inputs["prompt_embeds"].astype(params["final_ln_w"].dtype)
+                dummy = jnp.zeros((B, st.prompt_width), jnp.int32)
+                _, cache = model.prefill_chunk(
+                    cfg, params, dummy, jnp.zeros((B,), jnp.int32), cache,
+                    active, embeds=emb,
+                )
+            hidden, cache = model.prefill_chunk(
+                cfg, params, tokens[:, : st.input_width], pos_offset, cache, active
+            )
+        elif self._pp > 1:
             from ..parallel import pipeline
 
             hidden, cache = pipeline.prefill(
@@ -283,6 +368,7 @@ class GptNeoXEngine:
             logits=logits,
             cache=cache,
             newest=jnp.full((B,), cfg.end_id, jnp.int32),
+            pos_offset=pos_offset,
         )
 
     # ------------------------------------------------------------ jit builders --
@@ -423,10 +509,17 @@ class GptNeoXEngine:
         stop_words_list: Optional[np.ndarray] = None,
         bad_words_list: Optional[np.ndarray] = None,
         optional_last_tokens: Optional[np.ndarray] = None,
+        prompt_learning_task_name_ids: Optional[Sequence[int]] = None,
+        request_prompt_embedding: Optional[np.ndarray] = None,
+        request_prompt_lengths: Optional[Sequence[int]] = None,
     ) -> Tuple[_Statics, Dict[str, jax.Array]]:
         cfg = self.config
         rt = self.runtime
         B = len(input_ids)
+        prompt_kind, prompt_width, prompt_inputs = self._prepare_prompt(
+            B, prompt_learning_task_name_ids,
+            request_prompt_embedding, request_prompt_lengths,
+        )
         lengths = np.array([len(x) for x in input_ids], np.int32)
         assert (lengths > 0).all(), "input len must be larger than zero"
         max_in = int(lengths.max())
@@ -505,6 +598,8 @@ class GptNeoXEngine:
             stop_words_len=Lsw,
             bad_words_len=Lbw,
             optional_last_count=C,
+            prompt_width=prompt_width,
+            prompt_kind=prompt_kind,
         )
         inputs = {
             "tokens": jnp.asarray(tokens),
@@ -520,6 +615,7 @@ class GptNeoXEngine:
             "bad_words": jnp.asarray(bad_words),
             "optional_last_tokens": jnp.asarray(olt),
         }
+        inputs.update(prompt_inputs)
         return st, inputs
 
     def generate(
@@ -547,6 +643,14 @@ class GptNeoXEngine:
             for i, ids in enumerate(input_ids):
                 padded[i, : len(ids)] = np.asarray(ids, np.int32)
             debug_verify(self, padded, lens)
+        if beam_width != 1 or self._pp > 1:
+            if any(
+                sampling_kwargs.get(k) is not None
+                for k in ("prompt_learning_task_name_ids", "request_prompt_embedding")
+            ):
+                raise NotImplementedError(
+                    "prompt learning currently supports beam_width=1 and pp=1"
+                )
         if beam_width != 1:
             from ..sampling.beam import beam_search_generate
 

@@ -86,6 +86,38 @@ def write_prefill(cache: Cache, layer: jax.Array, k: jax.Array, v: jax.Array) ->
     return out
 
 
+def write_prefix(cache: Cache, k_pre: jax.Array, v_pre: jax.Array) -> Cache:
+    """Write prefix-prompt K/V states into cache slots [0, P) of EVERY layer.
+
+    k_pre/v_pre: [L, B, nH, P, dh] float — a task's saved key/value states,
+    placed ahead of the input exactly like the reference's prefix-prompt
+    preload (kernels/unfused_attention_kernels.cu:1370-1394 copies the raw
+    prompt K/V into the cache head; no rotary is applied to them). Rows whose
+    real prompt is shorter than P leave garbage in their tail slots — those
+    slots sit at cache positions the row's input/decode writes overwrite
+    before they ever become attention-valid, so no masked_tokens buffer is
+    needed (the repo's contiguous per-row layout vs the reference's
+    p p x x i i padding scheme, GptNeoX.cc:461-463)."""
+    out = dict(cache)
+    zero5 = (0, 0, 0, 0, 0)
+    zero4 = (0, 0, 0, 0)
+    if quantized(cache):
+        kq, ks = _quantize_vec(k_pre)
+        vq, vs = _quantize_vec(v_pre)
+        out["k"] = jax.lax.dynamic_update_slice(cache["k"], kq, zero5)
+        out["v"] = jax.lax.dynamic_update_slice(cache["v"], vq, zero5)
+        out["k_s"] = jax.lax.dynamic_update_slice(cache["k_s"], ks, zero4)
+        out["v_s"] = jax.lax.dynamic_update_slice(cache["v_s"], vs, zero4)
+    else:
+        out["k"] = jax.lax.dynamic_update_slice(
+            cache["k"], k_pre.astype(cache["k"].dtype), zero5
+        )
+        out["v"] = jax.lax.dynamic_update_slice(
+            cache["v"], v_pre.astype(cache["v"].dtype), zero5
+        )
+    return out
+
+
 def _row_update(slab: jax.Array, layer, new: jax.Array, positions: jax.Array):
     """slab[layer, b, :, positions[b]] = new[b] for slab [L, B, nH, S, ...]."""
     if slab.ndim == 4:  # scale slab [L, B, nH, S], new [B, nH]

@@ -214,6 +214,8 @@ def prefill_chunk(
     cache: KVCache,
     active: jax.Array,  # [B] bool — rows mid-prefill
     rotary_tables=None,
+    embeds: jax.Array = None,  # [B, C, H] — pre-embedded chunk (soft prompts);
+    # overrides the token lookup (tokens_chunk then only fixes C)
 ) -> Tuple[jax.Array, KVCache]:
     """One chunked-prefill step over the whole layer stack.
 
@@ -221,7 +223,7 @@ def prefill_chunk(
     cache bytes are preserved. Returns (hidden [B, C, H], cache)."""
     B, C = tokens_chunk.shape
     S = cache["k"].shape[3]
-    x = _embed_lookup(params, tokens_chunk)
+    x = _embed_lookup(params, tokens_chunk) if embeds is None else embeds
 
     if rotary_tables is None:
         rotary_tables = make_rotary_tables(

@@ -1,0 +1,178 @@
+"""Prompt-learning parity tests (prefix prompts + per-request soft prompts).
+
+Semantics being matched (reference): prefix-prompt K/V are preloaded into
+cache slots [0, p_len) with NO rotary applied to them, and the input's
+rotary/cache positions are offset by the row's prefix length
+(/root/reference/src/fastertransformer/kernels/unfused_attention_kernels.cu:1356-1404);
+soft prompts are embeddings prepended as pseudo-input
+(GptNeoX.cc:604-621 invokeInputIdsEmbeddingLookupPosEncodingSoftPrompt).
+
+The defining property both tests pin down: a prefix built by PREFILLING a
+token sequence (so its K/V carry rotary at positions [0, p)) must make
+generation from the remaining tokens IDENTICAL to generating from the full
+concatenated sequence — positions, masks, and cache layout all have to line
+up for that to hold.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastertransformer4codefuse_tpu import (
+    GptNeoXConfig,
+    GptNeoXEngine,
+    RuntimeConfig,
+    init_params,
+)
+from fastertransformer4codefuse_tpu.models import gptneox as model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = GptNeoXConfig.tiny(vocab_size=96)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    return cfg, params, eng
+
+
+def _prefix_kv_from_tokens(cfg, params, prompt_ids):
+    """Prefill ``prompt_ids`` and lift the resulting K/V states into a
+    prompt-table entry [L, 2, nH, P, dh]."""
+    p = len(prompt_ids)
+    cache = model.init_kv_cache(cfg, 1, p, jnp.float32)
+    ids = jnp.asarray([prompt_ids], jnp.int32)
+    lens = jnp.asarray([p], jnp.int32)
+    _, cache = model.prefill(cfg, params, ids, lens, cache)
+    k = np.asarray(cache["k"][:, 0])  # [L, nH, P, dh]
+    v = np.asarray(cache["v"][:, 0])
+    return np.stack([k, v], axis=1)  # [L, 2, nH, P, dh]
+
+
+def test_prefix_prompt_matches_concatenated(setup):
+    cfg, params, eng = setup
+    prompt = [11, 7, 42, 13, 5]
+    tail = [21, 22, 23]
+    full = np.asarray(
+        eng.generate([prompt + tail], output_len=6, top_k=1).output_ids[0][0]
+    )
+    expected = full[len(prompt) :]  # generation continues after the full prefix
+
+    eng.set_prompt_learning_table({3: (_prefix_kv_from_tokens(cfg, params, prompt), len(prompt))})
+    got = np.asarray(
+        eng.generate(
+            [tail], output_len=6, top_k=1, prompt_learning_task_name_ids=[3]
+        ).output_ids[0][0]
+    )
+    assert got[: len(expected)].tolist() == expected.tolist(), (got, expected)
+
+
+def test_prefix_prompt_ragged_batch(setup):
+    """Two rows with different task prompts (different lengths) in one batch."""
+    cfg, params, eng = setup
+    p_a, p_b = [11, 7, 42, 13, 5], [31, 9]
+    t_a, t_b = [21, 22, 23], [44, 45]
+    exp_a = np.asarray(
+        eng.generate([p_a + t_a], output_len=5, top_k=1).output_ids[0][0]
+    )[len(p_a) :]
+    exp_b = np.asarray(
+        eng.generate([p_b + t_b], output_len=5, top_k=1).output_ids[0][0]
+    )[len(p_b) :]
+
+    eng.set_prompt_learning_table({
+        0: (_prefix_kv_from_tokens(cfg, params, p_a), len(p_a)),
+        1: (_prefix_kv_from_tokens(cfg, params, p_b), len(p_b)),
+    })
+    out = eng.generate(
+        [t_a, t_b], output_len=5, top_k=1, prompt_learning_task_name_ids=[0, 1]
+    )
+    got_a = np.asarray(out.output_ids[0][0])
+    got_b = np.asarray(out.output_ids[1][0])
+    assert got_a[: len(exp_a)].tolist() == exp_a.tolist()
+    assert got_b[: len(exp_b)].tolist() == exp_b.tolist()
+
+
+def test_soft_prompt_matches_concatenated(setup):
+    """A soft prompt equal to the embeddings of real tokens must reproduce the
+    concatenated-token run (soft prompt flows through the stack as input)."""
+    cfg, params, eng = setup
+    prompt = [11, 7, 42, 13]
+    tail = [21, 22, 23]
+    full = np.asarray(
+        eng.generate([prompt + tail], output_len=6, top_k=1).output_ids[0][0]
+    )
+    expected = full[len(prompt) :]
+
+    emb = np.asarray(params["embed"])[np.asarray(prompt)][None]  # [1, P, H]
+    got = np.asarray(
+        eng.generate(
+            [tail], output_len=6, top_k=1,
+            request_prompt_embedding=emb,
+            request_prompt_lengths=[len(prompt)],
+        ).output_ids[0][0]
+    )
+    assert got[: len(expected)].tolist() == expected.tolist(), (got, expected)
+
+
+def test_soft_prompt_ragged_lengths(setup):
+    cfg, params, eng = setup
+    p_a, p_b = [11, 7, 42, 13, 5, 6], [31, 9, 17]
+    t_a, t_b = [21, 22], [44, 45, 46]
+    exp_a = np.asarray(
+        eng.generate([p_a + t_a], output_len=4, top_k=1).output_ids[0][0]
+    )[len(p_a) :]
+    exp_b = np.asarray(
+        eng.generate([p_b + t_b], output_len=4, top_k=1).output_ids[0][0]
+    )[len(p_b) :]
+
+    E = np.asarray(params["embed"])
+    P = max(len(p_a), len(p_b))
+    emb = np.zeros((2, P, cfg.hidden_size), np.float32)
+    emb[0, : len(p_a)] = E[np.asarray(p_a)]
+    emb[1, : len(p_b)] = E[np.asarray(p_b)]
+    out = eng.generate(
+        [t_a, t_b], output_len=4, top_k=1,
+        request_prompt_embedding=emb,
+        request_prompt_lengths=[len(p_a), len(p_b)],
+    )
+    got_a = np.asarray(out.output_ids[0][0])
+    got_b = np.asarray(out.output_ids[1][0])
+    assert got_a[: len(exp_a)].tolist() == exp_a.tolist()
+    assert got_b[: len(exp_b)].tolist() == exp_b.tolist()
+
+
+def test_prompt_with_int8_kv_cache(setup):
+    """Prefix path under an int8 KV cache: prefix K/V are quantized on write;
+    greedy tokens must still track the fp cache run (same model, loose check:
+    the first generated tokens agree)."""
+    cfg, params, _ = setup
+    eng8 = GptNeoXEngine(
+        cfg, params, RuntimeConfig(dtype="fp32", kv_cache_dtype="int8", seq_bucket=8)
+    )
+    prompt = [11, 7, 42, 13, 5]
+    tail = [21, 22, 23]
+    full = np.asarray(
+        eng8.generate([prompt + tail], output_len=4, top_k=1).output_ids[0][0]
+    )
+    expected = full[len(prompt) :]
+    eng8.set_prompt_learning_table(
+        {3: (_prefix_kv_from_tokens(cfg, params, prompt), len(prompt))}
+    )
+    got = np.asarray(
+        eng8.generate(
+            [tail], output_len=4, top_k=1, prompt_learning_task_name_ids=[3]
+        ).output_ids[0][0]
+    )
+    assert got[: len(expected)].tolist() == expected.tolist(), (got, expected)
+
+
+def test_prompt_rejects_beam(setup):
+    cfg, params, eng = setup
+    eng.set_prompt_learning_table(
+        {0: (np.zeros((cfg.layer_num, 2, cfg.head_num, 4, cfg.size_per_head)), 4)}
+    )
+    with pytest.raises(NotImplementedError):
+        eng.generate(
+            [[1, 2]], output_len=2, beam_width=2,
+            prompt_learning_task_name_ids=[0],
+        )
