@@ -243,14 +243,18 @@ def prefill_chunk(
     return x, cache
 
 
-def _scan_layers(config, params, x, cache, per_layer_fn):
+def _scan_layers(config, params, x, cache, per_layer_fn, unroll=False):
     """Run the layer stack via lax.scan over the layer index.
 
     Both the cache and the weights stay OUT of scan xs/ys: the cache rides the
     carry (in-place updates at the layer index), plain per-layer tensors are
     dynamically indexed in the body (the slice fuses into consumers), and
     quantized kernels stay stacked for the scalar-prefetch Pallas kernels.
-    The xs/ys form re-assembles stacked slabs with a full copy every call."""
+    The xs/ys form re-assembles stacked slabs with a full copy every call.
+
+    ``unroll=True`` runs a plain Python loop instead — only for offline tools
+    that need concrete per-layer values outside jit (ckpt.calibrate's
+    activation-statistics taps)."""
     layers = params["layers"]
     L = config.layer_num
 
@@ -260,6 +264,11 @@ def _scan_layers(config, params, x, cache, per_layer_fn):
         y, cache = per_layer_fn(lp, x, cache, l)
         return (y, cache), None
 
+    if unroll:
+        carry = (x, cache)
+        for l in range(L):
+            carry, _ = body(carry, jnp.int32(l))
+        return carry
     (x, cache), _ = jax.lax.scan(body, (x, cache), jnp.arange(L))
     return x, cache
 
@@ -280,6 +289,7 @@ def prefill(
     input_ids: jax.Array,  # [B, S] int32 (right-padded)
     input_lengths: jax.Array,  # [B]
     cache: KVCache,
+    unroll: bool = False,  # Python layer loop (offline calibration taps only)
 ) -> Tuple[jax.Array, KVCache]:
     """Full-prompt forward. Returns (hidden [B, S, H], cache with [0,S) filled)."""
     B, S = input_ids.shape
@@ -291,7 +301,7 @@ def prefill(
     fn = lambda lp, x, c, l: block_prefill(
         config, lp, x, c, l, cos_t, sin_t, mask, input_lengths
     )
-    x, cache = _scan_layers(config, params, x, cache, fn)
+    x, cache = _scan_layers(config, params, x, cache, fn, unroll=unroll)
     return x, cache
 
 

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-L = 8
+L = int(os.environ.get("NLAYERS", "4"))
 SHAPES = {
     "qkv": (5120, 15360),
     "proj": (5120, 5120),
