@@ -118,6 +118,43 @@ def main():
         def _():
             o_ref[0] = (acc_ref[...] + m_ref[:, :1]).astype(o_ref.dtype)
 
+    def body_full_batched(sr, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        """Full online-softmax, all hb heads batched: one batched dot for
+        scores, one exp on [hb, bs], one batched dot for pv."""
+        s = pl.program_id(2)
+        pos = sr[1]
+
+        @pl.when(s == 0)
+        def _():
+            m_ref[...] = jnp.full_like(m_ref, -1e30)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        kf = k_ref[0, 0].astype(jnp.bfloat16)  # [hb, bs, dh]
+        vf = v_ref[0, 0].astype(jnp.bfloat16)
+        qb = q_ref[0].astype(jnp.bfloat16)  # [hb, dh]
+        scores = jax.lax.dot_general(
+            qb[:, None, :], kf, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # [hb, bs]
+        col = jax.lax.broadcasted_iota(jnp.int32, (hb, bs), 1) + s * bs
+        scores = jnp.where(col <= pos, scores * 0.088, -1e30)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)
+        pv = jax.lax.dot_general(
+            p.astype(jnp.bfloat16)[:, None, :], vf, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # [hb, dh]
+        acc_ref[...] = alpha * acc_ref[...] + pv
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+        @pl.when(s == n_s - 1)
+        def _done():
+            o_ref[0] = (acc_ref[...] / jnp.maximum(l_ref[:, :1], 1e-20)).astype(o_ref.dtype)
+
     from fastertransformer4codefuse_tpu.ops.flash_decode import flash_decode_stacked
 
     def full_call(l):
@@ -131,6 +168,7 @@ def main():
         "conv": build(body_conv),
         "scores": build(body_scores),
         "scores_bf16": build(body_scores_bf16),
+        "full_batched": build(body_full_batched),
         "full": full_call,
     }
     which = args.which.split(",")
@@ -140,10 +178,11 @@ def main():
             continue
         @jax.jit
         def many(call=call):
-            acc = jnp.zeros((), jnp.float32)
-            for l in range(L):
-                acc = acc + call(jnp.int32(l))[0, 0, 0].astype(jnp.float32)
-            return acc
+            # fori_loop: ONE kernel instance compiled (8 unrolled instances
+            # measured ~200s of remote compile through the axon tunnel)
+            def body(l, acc):
+                return acc + call(l)[0, 0, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, L, body, jnp.float32(0))
 
         try:
             float(many())
