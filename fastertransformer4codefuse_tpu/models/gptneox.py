@@ -49,16 +49,9 @@ def init_kv_cache(
 
 
 def _activation(config: GptNeoXConfig, x: jax.Array) -> jax.Array:
-    act = config.activation
-    if act == "gelu":
-        return jax.nn.gelu(x, approximate=False)
-    if act == "gelu-tanh":
-        return jax.nn.gelu(x, approximate=True)
-    if act == "relu":
-        return jax.nn.relu(x)
-    if act == "silu":
-        return jax.nn.silu(x)
-    raise ValueError(f"unknown activation {act!r}")
+    from ..ops.quant_matmul_w4 import apply_act
+
+    return apply_act(x, config.activation)
 
 
 def _layer_slice(layers: Dict[str, Any], l) -> Dict[str, Any]:
@@ -89,8 +82,9 @@ def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
 
 
 def _ffn(config: GptNeoXConfig, lp, x, layer=None):
-    h = linear(x, lp["up_w"], lp["up_b"], layer=layer)
-    h = _activation(config, h)
+    # bias + activation fuse into the up-GEMM (Pallas epilogue on TPU, XLA
+    # fusion elsewhere) = the reference's invokeAddBiasGeluV2 epilogue
+    h = linear(x, lp["up_w"], lp["up_b"], layer=layer, act=config.activation)
     # down bias applied by caller (residual fusion)
     return linear(h, lp["down_w"], layer=layer)
 

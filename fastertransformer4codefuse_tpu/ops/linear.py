@@ -76,36 +76,56 @@ def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
     return y.astype(x.dtype).reshape(out_shape)
 
 
+def _bias_act_xla(y: jax.Array, bias, act) -> jax.Array:
+    """Plain-XLA bias + activation (fuses into the surrounding computation on
+    any backend); the Pallas kernels absorb these in their epilogue instead."""
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    if act is not None:
+        from .quant_matmul_w4 import apply_act
+
+        y = apply_act(y, act)
+    return y
+
+
 def quantized_matmul(
-    x: jax.Array, w: QuantizedTensor, layer: Optional[jax.Array] = None
+    x: jax.Array,
+    w: QuantizedTensor,
+    layer: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    act: Optional[str] = None,
 ) -> jax.Array:
-    """Dispatch. ``layer`` set + stacked [L, K, N] weight selects the
-    scalar-prefetch Pallas kernels, which DMA tiles straight out of the
-    stacked HBM array — a dynamic layer slice cannot fuse into a Pallas
-    custom call and would materialize a full per-GEMM weight copy."""
+    """Dispatch; bias/activation are ALWAYS applied (in the Pallas kernel
+    epilogue on the stacked TPU paths, as XLA ops elsewhere). ``layer`` set +
+    stacked [L, K, N] weight selects the scalar-prefetch Pallas kernels, which
+    DMA tiles straight out of the stacked HBM array — a dynamic layer slice
+    cannot fuse into a Pallas custom call and would materialize a full
+    per-GEMM weight copy."""
     stacked = layer is not None and w.q.ndim == 3
     if stacked and _ON_TPU:
         x2d = x.reshape(-1, x.shape[-1])
         out_shape = x.shape[:-1] + w.q.shape[2:]
+        b2d = None if bias is None else bias.reshape(-1)
         if w.bits == 4 and w.group_size:
             from .quant_matmul_w4 import quant_matmul_w4_group_stacked
 
             y = quant_matmul_w4_group_stacked(
-                x2d, w.q, w.scale, layer, G=w.group_size, out_dtype=x.dtype
+                x2d, w.q, w.scale, layer, G=w.group_size, out_dtype=x.dtype,
+                bias=b2d, act=act,
             )
             return y.reshape(out_shape)
         if w.bits == 4:
             from .quant_matmul_w4 import quant_matmul_w4_pallas_stacked
 
             y = quant_matmul_w4_pallas_stacked(
-                x2d, w.q, w.scale, layer, out_dtype=x.dtype
+                x2d, w.q, w.scale, layer, out_dtype=x.dtype, bias=b2d, act=act,
             )
             return y.reshape(out_shape)
         if _USE_PALLAS:
             from .quant_matmul import quant_matmul_pallas_stacked
 
             y = quant_matmul_pallas_stacked(
-                x2d, w.q, w.scale, layer, out_dtype=x.dtype
+                x2d, w.q, w.scale, layer, out_dtype=x.dtype, bias=b2d, act=act,
             )
             return y.reshape(out_shape)
     if stacked:
@@ -119,7 +139,7 @@ def quantized_matmul(
         out_shape = x.shape[:-1] + w.q.shape[1:]
         x2d = x.reshape(-1, x.shape[-1])
         y = quant_matmul_w4_pallas(x2d, q2d, scale, out_dtype=x.dtype)
-        return y.reshape(out_shape)
+        return _bias_act_xla(y.reshape(out_shape), bias, act)
     if _USE_PALLAS and w.bits == 8:
         from .quant_matmul import quant_matmul_pallas
 
@@ -127,8 +147,8 @@ def quantized_matmul(
         out_shape = x.shape[:-1] + w.q.shape[1:]
         x2d = x.reshape(-1, x.shape[-1])
         y = quant_matmul_pallas(x2d, q2d, scale, out_dtype=x.dtype)
-        return y.reshape(out_shape)
-    return quantized_matmul_xla(x, w)
+        return _bias_act_xla(y.reshape(out_shape), bias, act)
+    return _bias_act_xla(quantized_matmul_xla(x, w), bias, act)
 
 
 def quantized_matmul_transposed_head(x: jax.Array, w: QuantizedTensor) -> jax.Array:
@@ -159,23 +179,23 @@ def linear(
     b: Optional[jax.Array] = None,
     out_dtype=None,
     layer: Optional[jax.Array] = None,
+    act: Optional[str] = None,
 ) -> jax.Array:
-    """``y = x @ w + b`` with QuantizedTensor dispatch.
+    """``y = act(x @ w + b)`` with QuantizedTensor dispatch.
 
     ``w`` may be a plain array ``[K, ...out]``, a per-layer QuantizedTensor, or
     (with ``layer`` set) a stacked ``[L, K, N]`` QuantizedTensor indexed inside
-    the Pallas kernel via scalar prefetch.
+    the Pallas kernel via scalar prefetch; bias and activation ride the
+    kernel's epilogue there (and XLA's fusion everywhere else).
     """
     if isinstance(w, QuantizedTensor):
-        y = quantized_matmul(x, w, layer=layer)
+        y = quantized_matmul(x, w, layer=layer, bias=b, act=act)
     else:
         out_shape = x.shape[:-1] + w.shape[1:]
         x2d = x.reshape(-1, x.shape[-1])
         w2d = w.reshape(w.shape[0], -1)
         y = jnp.dot(x2d, w2d, preferred_element_type=jnp.float32)
-        y = y.astype(x.dtype).reshape(out_shape)
-    if b is not None:
-        y = y + b.astype(y.dtype)
+        y = _bias_act_xla(y.astype(x.dtype).reshape(out_shape), b, act)
     if out_dtype is not None:
         y = y.astype(out_dtype)
     return y

@@ -112,7 +112,14 @@ def quant_matmul_pallas(
     return out[:M, :N]
 
 
-def _kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, out_dtype):
+def _kernel_stacked(
+    l_ref, x_ref, w_ref, s_ref, *rest, n_k: int, out_dtype, act, has_bias
+):
+    if has_bias:
+        b_ref, o_ref, acc_ref = rest
+    else:
+        b_ref, (o_ref, acc_ref) = None, rest
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -122,11 +129,13 @@ def _kernel_stacked(l_ref, x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, out
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
+        from .quant_matmul_w4 import _epilogue
+
         scale = s_ref[0].astype(jnp.float32)  # [1, bn]
-        o_ref[...] = (acc_ref[...] * scale).astype(out_dtype)
+        o_ref[...] = _epilogue(acc_ref[...] * scale, b_ref, act).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "act"))
 def quant_matmul_pallas_stacked(
     x: jax.Array,  # [M, K]
     w_all: jax.Array,  # [L, K, N] int8 — whole stacked weight stays in HBM
@@ -135,7 +144,9 @@ def quant_matmul_pallas_stacked(
     out_dtype=None,
     bm: int = 0,
     bn: int = 2560,
-    bk: int = 1024,
+    bk: int = 2048,  # sweep: 141.2us vs 146.1 at bk=1024 on the 13B up/down shapes
+    bias=None,  # [N] (pre-sliced per layer) — fused f32 bias add in the epilogue
+    act: str | None = None,  # fused activation in the epilogue
 ):
     """Layer-indexed fused dequant matmul over the stacked per-layer weights.
 
@@ -157,19 +168,28 @@ def quant_matmul_pallas_stacked(
     Mp = xp.shape[0]
     n_k = K // bk
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
+        pl.BlockSpec((1, bk, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+        pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j)),
+    ]
+    operands = [xp, w_all, s_all.reshape(L, 1, N)]
+    if bias is not None:
+        assert bias.shape == (N,)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
+        operands.append(bias.reshape(1, N))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // bm, N // bn, n_k),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
-            pl.BlockSpec((1, bk, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
-            pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l_ref: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_stacked, n_k=n_k, out_dtype=out_dtype),
+        functools.partial(
+            _kernel_stacked, n_k=n_k, out_dtype=out_dtype, act=act,
+            has_bias=bias is not None,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -180,7 +200,7 @@ def quant_matmul_pallas_stacked(
             bytes_accessed=Mp * K * 2 + K * N + Mp * N * 2,
             transcendentals=0,
         ),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, w_all, s_all.reshape(L, 1, N))
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     return out[:M]
 
 

@@ -119,22 +119,56 @@ def quant_matmul_w4_pallas(
     return out[:M, :N]
 
 
-def _kernel_stacked(l_ref, x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, out_dtype):
+def _epilogue(y: jax.Array, b_ref, act) -> jax.Array:
+    """Shared kernel epilogue: f32 bias add + activation.
+
+    Fusing these into the matmul's final grid step removes one whole-XLA-op
+    round trip per GEMM (bias/gelu as separate [1, N] fusions measured
+    ~2-4us of fixed dispatch each at decode widths — ~200us/step on 13B)."""
+    if b_ref is not None:
+        y = y + b_ref[0].astype(jnp.float32)
+    if act is not None:
+        y = apply_act(y, act)
+    return y
+
+
+def apply_act(y: jax.Array, act: str) -> jax.Array:
+    """Activation on the f32 partial tile; must mirror models.gptneox._activation
+    (the canonical XLA path) bit-for-policy: exact-erf gelu is the HF/CodeFuse
+    default."""
+    if act == "gelu":
+        return jax.nn.gelu(y, approximate=False)
+    if act == "gelu-tanh":
+        return jax.nn.gelu(y, approximate=True)
+    if act == "relu":
+        return jax.nn.relu(y)
+    if act == "silu":
+        return jax.nn.silu(y)
+    raise ValueError(f"unknown activation {act!r}")
+
+
+def _kernel_stacked(l_ref, x_ref, p_ref, s_ref, *rest, n_k, out_dtype, act, has_bias):
+    if has_bias:
+        b_ref, o_ref, acc_ref = rest
+    else:
+        b_ref, (o_ref, acc_ref) = None, rest
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    w4 = pltpu.bitcast(p_ref[0], jnp.int4)  # [bk, bn]
+    w4 = pltpu.bitcast(p_ref[0], jnp.int4)  # [bk, bn], rows interleaved lo/hi
     acc_ref[...] += jnp.dot(
         x_ref[...], w4.astype(x_ref.dtype), preferred_element_type=jnp.float32
     )
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
-        o_ref[...] = (acc_ref[...] * s_ref[0].astype(jnp.float32)).astype(out_dtype)
+        y = acc_ref[...] * s_ref[0].astype(jnp.float32)
+        o_ref[...] = _epilogue(y, b_ref, act).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk", "act"))
 def quant_matmul_w4_pallas_stacked(
     x: jax.Array,  # [M, K]
     packed_all: jax.Array,  # [L, K//2, N] int8
@@ -143,7 +177,9 @@ def quant_matmul_w4_pallas_stacked(
     out_dtype=None,
     bm: int = 0,
     bn: int = 5120,
-    bk: int = 1024,
+    bk: int = 2048,  # sweep: 76.9us vs 78.5 at bk=1024 on the 13B up/down shapes
+    bias=None,  # [N] (pre-sliced per layer) — fused f32 bias add in the epilogue
+    act: str | None = None,  # fused activation in the epilogue
 ):
     """Layer-indexed W4 kernel over the stacked weights (see
     quant_matmul.quant_matmul_pallas_stacked for why scalar-prefetch beats a
@@ -160,19 +196,28 @@ def quant_matmul_w4_pallas_stacked(
     Mp = xp.shape[0]
     n_k = K // bk
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
+        pl.BlockSpec((1, bk // 2, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+        pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j)),
+    ]
+    operands = [xp, packed_all, s_all.reshape(L, 1, N)]
+    if bias is not None:
+        assert bias.shape == (N,)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
+        operands.append(bias.reshape(1, N))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // bm, N // bn, n_k),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
-            pl.BlockSpec((1, bk // 2, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
-            pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l_ref: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_stacked, n_k=n_k, out_dtype=out_dtype),
+        functools.partial(
+            _kernel_stacked, n_k=n_k, out_dtype=out_dtype, act=act,
+            has_bias=bias is not None,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -183,11 +228,18 @@ def quant_matmul_w4_pallas_stacked(
             bytes_accessed=Mp * K * 2 + K * N // 2 + Mp * N * 2,
             transcendentals=0,
         ),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, packed_all, s_all.reshape(L, 1, N))
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     return out[:M]
 
 
-def _kernel_stacked_group(l_ref, x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, G, out_dtype):
+def _kernel_stacked_group(
+    l_ref, x_ref, p_ref, s_ref, *rest, n_k, G, out_dtype, act, has_bias
+):
+    if has_bias:
+        b_ref, o_ref, acc_ref = rest
+    else:
+        b_ref, (o_ref, acc_ref) = None, rest
+
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -208,10 +260,12 @@ def _kernel_stacked_group(l_ref, x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, G,
 
     @pl.when(pl.program_id(2) == n_k - 1)
     def _done():
-        o_ref[...] = acc_ref[...].astype(out_dtype)
+        o_ref[...] = _epilogue(acc_ref[...], b_ref, act).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("G", "out_dtype", "bm", "bn", "bk"))
+@functools.partial(
+    jax.jit, static_argnames=("G", "out_dtype", "bm", "bn", "bk", "act")
+)
 def quant_matmul_w4_group_stacked(
     x: jax.Array,  # [M, K]
     packed_all: jax.Array,  # [L, K//2, N] int8
@@ -222,6 +276,8 @@ def quant_matmul_w4_group_stacked(
     bm: int = 0,
     bn: int = 5120,
     bk: int = 1024,
+    bias=None,  # [N] (pre-sliced per layer) — fused f32 bias add in the epilogue
+    act: str | None = None,  # fused activation in the epilogue
 ):
     """Group-wise-scale W4 kernel: the scale applies inside the contraction,
     so it folds into the weight tile on the VPU before the MXU pass (an
@@ -239,19 +295,28 @@ def quant_matmul_w4_group_stacked(
     Mp = xp.shape[0]
     n_k = K // bk
 
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
+        pl.BlockSpec((1, bk // 2, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+        pl.BlockSpec((1, bk // G, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
+    ]
+    operands = [xp, packed_all, s_all]
+    if bias is not None:
+        assert bias.shape == (N,)
+        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
+        operands.append(bias.reshape(1, N))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // bm, N // bn, n_k),
-        in_specs=[
-            pl.BlockSpec((bm, bk), lambda i, j, k, l_ref: (i, k)),
-            pl.BlockSpec((1, bk // 2, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
-            pl.BlockSpec((1, bk // G, bn), lambda i, j, k, l_ref: (l_ref[0], k, j)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l_ref: (i, j)),
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel_stacked_group, n_k=n_k, G=G, out_dtype=out_dtype),
+        functools.partial(
+            _kernel_stacked_group, n_k=n_k, G=G, out_dtype=out_dtype, act=act,
+            has_bias=bias is not None,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
@@ -262,5 +327,5 @@ def quant_matmul_w4_group_stacked(
             bytes_accessed=Mp * K * 2 + K * N // 2 + K * N // G * 4 + Mp * N * 2,
             transcendentals=0,
         ),
-    )(jnp.asarray(layer, jnp.int32).reshape(1), xp, packed_all, s_all)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
     return out[:M]
