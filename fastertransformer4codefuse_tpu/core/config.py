@@ -186,10 +186,13 @@ class RuntimeConfig:
       max_batch_size / max_seq_len: static upper bounds used to pre-allocate.
       seq_bucket: generation shapes are padded up to a multiple of this to bound
         the number of distinct compiled programs.
-      use_pallas: route int8 matmuls through the Pallas fused dequant kernel.
-        Default False: XLA's own int8->bf16 convert-into-dot composition
-        currently beats the hand kernel end-to-end on v5e (48 vs 28 tok/s on
-        13B); the kernel remains available for tuning.
+      use_pallas: route int8 matmuls through the stacked scalar-prefetch
+        Pallas fused dequant kernel. Default True: the stacked kernel with
+        bk=2048 tiles + fused bias epilogue runs at ~91% of the DMA floor
+        (141us vs 128 on the 13B up/down GEMMs), ahead of XLA's
+        convert-into-dot composition (~79% end-to-end). (The round-1 sliced
+        kernel that lost to XLA materialized a per-layer weight copy; the
+        scalar-prefetch rewrite is why the default flipped.)
       tensor_para_size: TP degree (mesh axis "tp").
       data_para_size: replica axis (mesh axis "dp").
       pipeline_para_size: PP stage count (mesh axis "pp"); layers and KV cache
@@ -205,7 +208,7 @@ class RuntimeConfig:
     max_batch_size: int = 8
     max_seq_len: int = 2048
     seq_bucket: int = 128
-    use_pallas: bool = False
+    use_pallas: bool = True
     use_flash_prefill: bool = True
     use_flash_decode: bool = True
     tensor_para_size: int = 1

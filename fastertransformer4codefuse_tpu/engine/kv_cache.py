@@ -267,8 +267,17 @@ def attend_chunk(
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
-# engine-set: route int8-cache decode attention through the Pallas kernel
+# engine-set: route decode attention through the Pallas flash-decode kernel
 _FLASH_DECODE = False
+
+# Static cache-length gates: below these the XLA fused path wins — the Pallas
+# kernel pays ~8-10us of fixed per-call cost (grid setup + scalar prefetch)
+# that a tiny cache read never amortizes. Measured on v5e 13B: enabling the
+# kernel unconditionally regressed the 64in/32out bench 48->34 tok/s (S=96
+# slab), while at S>=1088 int8 it wins. bf16 caches move 2x the bytes per
+# position, so the XLA path stays competitive longer (1536-slab bench was
+# still a wash); the kernel's per-chunk DMA clamp starts paying at longer S.
+_FLASH_MIN_S = {True: 512, False: 2048}  # keyed by quantized(cache)
 
 
 def set_flash_decode(flag: bool) -> None:
@@ -358,7 +367,12 @@ def attend_decode(
     if beam is not None:
         bw, indir = beam
         return attend_decode_beam(cache, layer, q, valid, sm_scale, indir, bw)
-    if _FLASH_DECODE and positions is not None and dh in (128, 256):
+    if (
+        _FLASH_DECODE
+        and positions is not None
+        and dh in (128, 256)
+        and S >= _FLASH_MIN_S[quantized(cache)]
+    ):
         # the seq-chunked kernel handles any S (ragged tail masked), both
         # int8 and float caches, and any batch; dh must fill whole lanes
         from ..ops.flash_decode import flash_decode_stacked

@@ -164,6 +164,17 @@ def quant_matmul_pallas_stacked(
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
     bn = _largest_divisor_tile(N, bn)
     bk = _largest_divisor_tile(K, bk)
+    # VMEM budget: double-buffered int8 weight + bf16 x tiles, f32 acc, bf16
+    # out. bk=2048 wins at decode widths (bm=16) but overflows the 16MB scoped
+    # limit at prefill widths (bm=256: 2*2048*2560 + ... ~ 16.4MB) — shrink bk
+    # then bn until the working set fits.
+    while 2 * bk * bn + 4 * bm * bk + 6 * bm * bn > 14 * 1024 * 1024:
+        if bk > 1024:
+            bk = _largest_divisor_tile(K, bk // 2)
+        elif bn > 1280:
+            bn = _largest_divisor_tile(N, bn // 2)
+        else:
+            break
     xp = _pad_to(x, bm, 0)
     Mp = xp.shape[0]
     n_k = K // bk
