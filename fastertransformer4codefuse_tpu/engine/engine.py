@@ -98,6 +98,39 @@ class GenerationOutput(NamedTuple):
     cum_log_probs: np.ndarray  # [B, beam] f32
 
 
+_HOST_CB_SUPPORTED: Optional[bool] = None
+
+
+def host_callbacks_supported() -> bool:
+    """Whether the active backend can run jax host callbacks (io_callback).
+
+    The fused-loop streaming path emits tokens via ordered io_callback from
+    inside the generation while_loop. PJRT plugins without host send/recv
+    support (e.g. the tunneled single-chip 'axon' platform, which still
+    reports backend name "tpu") raise UNIMPLEMENTED on an unordered callback
+    but DEADLOCK on an ordered one inside a loop — so probe once with a
+    trivial unordered callback (the unsupported case errors fast instead of
+    hanging) and let the engine fall back to the stepwise streaming loop.
+    """
+    global _HOST_CB_SUPPORTED
+    if _HOST_CB_SUPPORTED is None:
+        from jax.experimental import io_callback
+
+        def _noop(_):
+            return None
+
+        def probe(x):
+            io_callback(_noop, None, x, ordered=False)
+            return x + 1
+
+        try:
+            jax.block_until_ready(jax.jit(probe)(jnp.int32(0)))
+            _HOST_CB_SUPPORTED = True
+        except Exception:  # noqa: BLE001 — any backend failure means "no"
+            _HOST_CB_SUPPORTED = False
+    return _HOST_CB_SUPPORTED
+
+
 class GptNeoXEngine:
     """Host-facing engine. Owns jit caches keyed on static shape/flag bundles.
 
@@ -455,6 +488,60 @@ class GptNeoXEngine:
         self._generate_cache[key] = fn
         return fn
 
+    def _get_stream_fns(self, st: _Statics):
+        """Stepwise streaming pieces (prefill, step, final-step) — the
+        fallback when the backend cannot run host callbacks."""
+        pkey = ("stream_prefill", st)
+        skey = ("stream_step", st)
+        if pkey not in self._generate_cache:
+            self._generate_cache[pkey] = jax.jit(
+                lambda params, inputs: self._prefill_state(st, params, inputs)
+            )
+        if skey not in self._generate_cache:
+
+            def step(params, inputs, s):
+                s = self._sample_and_advance(st, params, inputs, s)
+                return self._forward_newest(st, params, s)
+
+            self._generate_cache[skey] = (
+                jax.jit(step, donate_argnums=(2,)),
+                jax.jit(
+                    lambda params, inputs, s: self._sample_and_advance(
+                        st, params, inputs, s
+                    ),
+                    donate_argnums=(2,),
+                ),
+            )
+        return self._generate_cache[pkey], self._generate_cache[skey]
+
+    def _generate_streaming_stepwise(self, st: _Statics, inputs, callback):
+        """Prefill + one jitted step per token driven from Python — the
+        reference's own streaming shape (pybind_callback_utils.cc:36-102),
+        paying a per-token dispatch+sync. Used when host callbacks are
+        unavailable (see host_callbacks_supported); only the [B] newest-token
+        vector crosses to host each step."""
+        prefill_fn, (step_fn, final_fn) = self._get_stream_fns(st)
+        s = prefill_fn(self.params, inputs)
+        in_lens = np.asarray(inputs["input_lengths"])
+        for i in range(st.output_len):
+            s = (final_fn if i == st.output_len - 1 else step_fn)(
+                self.params, inputs, s
+            )
+            newest, seq_lens_d, finished = jax.device_get(
+                (s.newest, s.seq_lens, s.finished)
+            )
+            # Per-row repeat semantics match the reference's last_seq_length
+            # logic (pybind_callback_utils.cc:79-88): finished rows keep
+            # emitting end_id with a stale idx.
+            cb_tokens = [[int(newest[b])] for b in range(st.batch)]
+            cb_idxs = [
+                [int(seq_lens_d[b] - in_lens[b] - 1)] for b in range(st.batch)
+            ]
+            callback({"last_tokens": cb_tokens, "idxs": cb_idxs})
+            if finished.all():
+                break
+        return jax.device_get((s.tokens, s.seq_lens, s.cum_log_probs))
+
     def _generate_streaming(self, st: _Statics, inputs, callback):
         """Run the fused streaming program, draining step messages to the
         user callback on the calling thread while the device computes."""
@@ -672,10 +759,16 @@ class GptNeoXEngine:
             # Per-row repeat semantics match the reference's last_seq_length
             # logic (pybind_callback_utils.cc:79-88): finished rows keep
             # emitting end_id with a stale idx (newest is forced to end_id in
-            # _sample_and_advance and seq_lens stops advancing).
-            tokens, seq_lens, cum_lp = self._generate_streaming(
-                st, inputs, callback
-            )
+            # _sample_and_advance and seq_lens stops advancing). Backends
+            # without host-callback support take the stepwise loop instead.
+            if host_callbacks_supported():
+                tokens, seq_lens, cum_lp = self._generate_streaming(
+                    st, inputs, callback
+                )
+            else:
+                tokens, seq_lens, cum_lp = self._generate_streaming_stepwise(
+                    st, inputs, callback
+                )
 
         return GenerationOutput(
             output_ids=tokens[:, None, :],

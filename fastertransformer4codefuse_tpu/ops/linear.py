@@ -103,30 +103,40 @@ def quantized_matmul(
     per-GEMM weight copy."""
     stacked = layer is not None and w.q.ndim == 3
     if stacked and _ON_TPU:
+        from .quant_matmul_w4 import PALLAS_FUSABLE_ACTS, apply_act
+
+        # Exact-erf gelu (CodeFuse's default) cannot lower inside a Mosaic
+        # kernel (no erf primitive); keep the bias fused and run the
+        # activation as the one trailing XLA op instead.
+        k_act, post_act = (act, None) if act in PALLAS_FUSABLE_ACTS else (None, act)
         x2d = x.reshape(-1, x.shape[-1])
         out_shape = x.shape[:-1] + w.q.shape[2:]
         b2d = None if bias is None else bias.reshape(-1)
+        y = None
         if w.bits == 4 and w.group_size:
             from .quant_matmul_w4 import quant_matmul_w4_group_stacked
 
             y = quant_matmul_w4_group_stacked(
                 x2d, w.q, w.scale, layer, G=w.group_size, out_dtype=x.dtype,
-                bias=b2d, act=act,
+                bias=b2d, act=k_act,
             )
-            return y.reshape(out_shape)
-        if w.bits == 4:
+        elif w.bits == 4:
             from .quant_matmul_w4 import quant_matmul_w4_pallas_stacked
 
             y = quant_matmul_w4_pallas_stacked(
-                x2d, w.q, w.scale, layer, out_dtype=x.dtype, bias=b2d, act=act,
+                x2d, w.q, w.scale, layer, out_dtype=x.dtype, bias=b2d,
+                act=k_act,
             )
-            return y.reshape(out_shape)
-        if _USE_PALLAS:
+        elif _USE_PALLAS:
             from .quant_matmul import quant_matmul_pallas_stacked
 
             y = quant_matmul_pallas_stacked(
-                x2d, w.q, w.scale, layer, out_dtype=x.dtype, bias=b2d, act=act,
+                x2d, w.q, w.scale, layer, out_dtype=x.dtype, bias=b2d,
+                act=k_act,
             )
+        if y is not None:
+            if post_act is not None:
+                y = apply_act(y, post_act)
             return y.reshape(out_shape)
     if stacked:
         w = w[layer]

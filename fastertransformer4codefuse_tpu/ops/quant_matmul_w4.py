@@ -132,6 +132,13 @@ def _epilogue(y: jax.Array, b_ref, act) -> jax.Array:
     return y
 
 
+# Activations the Mosaic lowering can express in a kernel epilogue. Exact-erf
+# gelu is NOT here: Pallas TPU has no erf/erfc primitive (checked on v5e,
+# jax 0.8 — "Unimplemented primitive ... erf"), so dispatchers must apply it
+# as a trailing XLA op instead of fusing it.
+PALLAS_FUSABLE_ACTS = frozenset({None, "gelu-tanh", "relu", "silu"})
+
+
 def apply_act(y: jax.Array, act: str) -> jax.Array:
     """Activation on the f32 partial tile; must mirror models.gptneox._activation
     (the canonical XLA path) bit-for-policy: exact-erf gelu is the HF/CodeFuse

@@ -72,3 +72,29 @@ def test_stream_early_stop_and_repeat_semantics():
     # the still-running row streams normally
     row1 = [m["last_tokens"][1][0] for m in msgs]
     assert row1 == list(out.output_ids[1, 0, 4:10])
+
+
+def test_stream_stepwise_fallback_matches_fused(monkeypatch):
+    """Backends without host-callback support (axon PJRT raises UNIMPLEMENTED
+    on unordered io_callback and deadlocks on ordered-in-loop) must fall back
+    to the stepwise loop with identical message stream and outputs."""
+    from fastertransformer4codefuse_tpu.engine import engine as engine_mod
+
+    cfg, eng = make_engine(seed=3)
+    ref_msgs = []
+    ref = eng.generate(PROMPTS, output_len=6, top_k=1, callback=ref_msgs.append)
+
+    monkeypatch.setattr(engine_mod, "_HOST_CB_SUPPORTED", False)
+    msgs = []
+    out = eng.generate(PROMPTS, output_len=6, top_k=1, callback=msgs.append)
+    np.testing.assert_array_equal(out.output_ids, ref.output_ids)
+    assert msgs == ref_msgs
+
+
+def test_host_callbacks_probe_caches(monkeypatch):
+    from fastertransformer4codefuse_tpu.engine import engine as engine_mod
+
+    monkeypatch.setattr(engine_mod, "_HOST_CB_SUPPORTED", None)
+    first = engine_mod.host_callbacks_supported()
+    assert first is True  # CPU backend runs io_callback
+    assert engine_mod.host_callbacks_supported() is first
