@@ -211,6 +211,11 @@ class RuntimeConfig:
     use_pallas: bool = True
     use_flash_prefill: bool = True
     use_flash_decode: bool = True
+    # Merge the decode block's GEMM pairs (qkv+up, proj+down) into single
+    # Pallas kernels with in-kernel bias/residual epilogues
+    # (ops/quant_matmul_fused.py) — parallel-residual + stacked quantized
+    # weights on TPU only; other configs fall back automatically.
+    fused_decode: bool = True
     tensor_para_size: int = 1
     data_para_size: int = 1
     pipeline_para_size: int = 1

@@ -158,6 +158,9 @@ class GptNeoXEngine:
         from .kv_cache import set_flash_decode
 
         set_flash_decode(self.runtime.use_flash_decode and backend == "tpu")
+        from ..models.gptneox import set_fused_decode
+
+        set_fused_decode(self.runtime.fused_decode)
         self._pp = 1
         # Prompt-learning task table: {task_id: (kv [L, 2, nH, P, dh], length)}
         # — the analog of gpt_weights->prompt_learning_table (GptNeoX.cc:483-501)

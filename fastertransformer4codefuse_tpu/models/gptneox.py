@@ -58,11 +58,93 @@ def _layer_slice(layers: Dict[str, Any], l) -> Dict[str, Any]:
     """Per-layer view: plain arrays are dynamically indexed (the slice fuses
     into their consumers), QuantizedTensors stay STACKED — the Pallas kernels
     index them internally via scalar prefetch, and slicing them here would
-    materialize a full weight copy per GEMM."""
-    return {
+    materialize a full weight copy per GEMM. Biases also pass through STACKED
+    (``*__all``) for the fused decode kernels, which index them in-kernel via
+    the prefetched layer id; the sliced entries remain for the unmerged paths
+    (dead — and traced away — when the fused path runs)."""
+    lp = {
         k: (v if isinstance(v, QuantizedTensor) else v[l])
         for k, v in layers.items()
     }
+    for k in ("qkv_b", "up_b", "down_b"):
+        if k in layers and not isinstance(layers[k], QuantizedTensor):
+            lp[k + "__all"] = layers[k]
+    return lp
+
+
+# Engine-set (RuntimeConfig.fused_decode): allow the merged-kernel decode block.
+_FUSED_DECODE = True
+
+
+def set_fused_decode(flag: bool) -> None:
+    global _FUSED_DECODE
+    _FUSED_DECODE = bool(flag)
+
+
+def _fused_pair_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
+    """True when the decode block can run as TWO merged Pallas kernels
+    (ops/quant_matmul_fused): parallel residual, all four GEMMs stacked
+    QuantizedTensors of one (bits, group) config, tileable dims."""
+    from ..ops import linear as lin
+
+    if not (_FUSED_DECODE and config.use_gptj_residual and lin._ON_TPU):
+        return False
+    ws = [lp.get(k) for k in ("qkv_w", "up_w", "proj_w", "down_w")]
+    if not all(isinstance(w, QuantizedTensor) and w.q.ndim == 3 for w in ws):
+        return False
+    if len({w.bits for w in ws}) != 1 or len({w.group_size for w in ws}) != 1:
+        return False
+    if ws[0].bits == 8 and not lin.use_pallas():
+        return False
+    if not all(k + "__all" in lp for k in ("qkv_b", "up_b", "down_b")):
+        return False
+    import math
+
+    H = config.hidden_size
+    N1, N2 = 3 * config.head_num * config.size_per_head, config.inter_size
+    G = ws[0].group_size
+    bn_a = math.gcd(N1, N2)
+    bk_b = math.gcd(H, config.inter_size)
+    if bn_a % 128 or bk_b % 256:
+        return False
+    if G and (bk_b % G or H % G):
+        return False
+    return True
+
+
+def _block_decode_fused_gemms(config, lp, x, attn_fn, layer):
+    """Parallel-residual decode block on the two merged kernels.
+
+    x: [B, 1, H]. attn_fn(q, k, v) -> attention context [B, nH*dh] (the caller
+    closes over cache/positions). Returns the layer output [B, 1, H]."""
+    from ..ops.quant_matmul_fused import fused_proj_down, fused_qkv_up
+    from ..ops.quant_matmul_w4 import PALLAS_FUSABLE_ACTS, apply_act
+
+    B, S, H = x.shape
+    nH, dh = config.head_num, config.size_per_head
+    N1 = 3 * nH * dh
+    qkv_w, up_w = lp["qkv_w"], lp["up_w"]
+    proj_w, down_w = lp["proj_w"], lp["down_w"]
+    bits, G = qkv_w.bits, qkv_w.group_size
+
+    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)[:, 0]
+    ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)[:, 0]
+    act = config.activation
+    k_act, post_act = (act, None) if act in PALLAS_FUSABLE_ACTS else (None, act)
+    y = fused_qkv_up(
+        ln1, ln2, qkv_w.q, up_w.q, qkv_w.scale, up_w.scale,
+        lp["qkv_b__all"], lp["up_b__all"], layer, bits=bits, G=G,
+        act2=k_act,
+    )
+    qkv, h = y[:, :N1], y[:, N1:]
+    if post_act is not None:
+        h = apply_act(h, post_act)
+    attn = attn_fn(qkv.reshape(B, 1, nH, 3, dh))  # [B, nH*dh]
+    out = fused_proj_down(
+        attn, h, proj_w.q, down_w.q, proj_w.scale, down_w.scale,
+        lp["down_b__all"], x[:, 0], layer, bits=bits, G=G,
+    )
+    return out[:, None, :]
 
 
 def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
@@ -140,6 +222,26 @@ def block_decode(
     B, S, H = x.shape
     nH, dh = config.head_num, config.size_per_head
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
+    rot = config.rotary_embedding_dim
+
+    if _fused_pair_ok(config, lp):
+        # merged-kernel decode block: 2 pallas_calls instead of 4, biases
+        # indexed in-kernel, residual fused into the second kernel's epilogue
+        new_cache = {}
+
+        def attn_fn(qkv5):
+            q, k, v = qkv5[:, :, :, 0], qkv5[:, :, :, 1], qkv5[:, :, :, 2]
+            q = apply_rotary(q, cos, sin, rot, config.rotary_style)
+            k = apply_rotary(k, cos, sin, rot, config.rotary_style)
+            c2 = kvc.write_decode(cache, layer, k, v, positions, skip=kv_skip)
+            new_cache.update(c2)
+            attn = kvc.attend_decode(
+                c2, layer, q[:, 0], valid, sm_scale, positions, beam=beam
+            )
+            return attn.reshape(B, H)
+
+        out = _block_decode_fused_gemms(config, lp, x, attn_fn, layer)
+        return out, new_cache
 
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, 1, nH, dh]

@@ -113,16 +113,18 @@ def flash_decode_stacked(
     layer: jax.Array,  # scalar
     positions: jax.Array,  # [B] — newest-token slot per row (inclusive mask)
     sm_scale: float,
-    hb: int = 8,  # heads per grid block
-    bs: int = 1024,  # sequence chunk (any S; ragged tail masked)
+    hb: int = 40,  # heads per grid block (largest divisor of nH is taken)
+    bs: int = 256,  # sequence chunk (any S; ragged tail masked)
     interpret: bool = False,  # CPU emulation for tests
 ) -> jax.Array:
     B, nH, dh = q.shape
     L, B2, nH2, S, dh2 = k_all.shape
     assert (B, nH, dh) == (B2, nH2, dh2)
     has_scale = ks_all is not None
-    while nH % hb:
-        hb //= 2
+    hb = next(d for d in range(min(hb, nH), 0, -1) if nH % d == 0)
+    # VMEM guard: K+V (+scales) blocks, double-buffered, must fit ~16MB
+    while hb * bs * (dh + 2) * 2 * k_all.dtype.itemsize * 2 > 12 * 1024 * 1024:
+        bs //= 2
     bs = min(bs, -(-S // 128) * 128)
     n_s = -(-S // bs)  # ceil: tail chunk rows are masked by the pos bound
     scalars = jnp.concatenate(

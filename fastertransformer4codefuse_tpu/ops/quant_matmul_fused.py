@@ -1,0 +1,360 @@
+"""Fused-pair Pallas quant matmuls for the parallel-residual decode block.
+
+The GPT-J-style parallel residual (out = x + attn(ln1 x) + ffn(ln2 x)) lets
+two GEMM pairs merge into single kernels, halving the per-layer pallas_call
+count (each call pays a fixed pipeline-ramp + dispatch cost that dominates at
+decode widths, M<=32):
+
+  A. qkv + up   — both read the SAME hidden width K: one grid over the
+     CONCATENATED output columns [N1 | N2], selecting input (ln1 vs ln2),
+     weight, scale, and bias block by the column-segment the grid is in.
+  B. proj + down — both write the SAME output width N: one grid over the
+     CONCATENATED contraction [K1 | K2]; the per-segment scale multiplies
+     each partial sum (per-output-channel scales commute out of each
+     segment's contraction but differ between segments), and the epilogue
+     adds the stacked layer bias AND the residual x, so the kernel's output
+     IS the layer output (the reference fuses the same 4-way add in
+     invokeAddBiasAttentionFfnResidual, add_residual_kernels.cu, then still
+     pays separate QKV/proj/up/down GEMM launches; here the adds AND the
+     pair-merge ride one kernel).
+
+Index-map discipline: the inactive segment's operand indices FREEZE at the
+last block the active phase fetched (plain ``min``/``where`` clamps), so the
+Pallas pipeline sees an unchanged index and skips the re-fetch — each weight
+byte streams from HBM exactly once per call.
+
+Both kernels read the int4 (nibble-packed, low-first — see quant_matmul_w4)
+or int8 stacked payloads via scalar-prefetched layer index, and take the
+STACKED [L, N] biases (indexed in-kernel), eliminating the per-layer bias
+dynamic-slice ops the unmerged path paid each step.
+
+Reference analog: the CUTLASS fpA-intB GEMMs + epilogues
+(/root/reference/src/fastertransformer/kernels/cutlass_kernels/fpA_intB_gemm/,
+layers/FfnLayer.cc:198-215) restructured around TPU dispatch economics.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .quant_matmul_w4 import _epilogue, _largest_divisor_tile, _pad_to
+
+
+def _fit_vmem(bk: int, bn: int, pack: int, n_div: int):
+    """Two weight operands, double-buffered, must leave room for x/acc/out:
+    cap each weight block at ~2MB (8MB of the ~16MB VMEM for weight buffers)."""
+    while (bk // pack) * bn > 2 * 1024 * 1024 and bn > 1280:
+        half = bn // 2
+        if n_div % half:
+            break
+        bn = half
+    return bn
+
+
+def _unpack(p_block, bits, dtype):
+    """[bk(/2), bn] payload block -> [bk, bn] weights in activation dtype."""
+    if bits == 4:
+        return pltpu.bitcast(p_block, jnp.int4).astype(dtype)
+    return p_block.astype(dtype)
+
+
+def _seg_dot(x_ref, p_ref, s_ref, acc_ref, bits, G):
+    """acc += (x @ unpack(p)) * scale for one (bk, bn) weight block.
+
+    G=0: per-channel scale [1, bn] multiplies the partial sum (exact: the
+    scale is constant across this segment's K). G>0: one dot per K-group,
+    each scaled by its [1, bn] group-scale row (quant_matmul_w4's group
+    formulation)."""
+    w = _unpack(p_ref[0], bits, x_ref.dtype)
+    if not G:
+        part = jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+        acc_ref[...] += part * s_ref[0, 0][None, :].astype(jnp.float32)
+        return
+    bk = w.shape[0]
+    for g in range(bk // G):
+        part = jnp.dot(
+            x_ref[:, g * G : (g + 1) * G],
+            w[g * G : (g + 1) * G],
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] += part * s_ref[0, g][None, :].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------- kernel A
+
+
+def _kernel_qkv_up(
+    l_ref, x1_ref, x2_ref, p1_ref, p2_ref, s1_ref, s2_ref, b1_ref, b2_ref,
+    o_ref, acc_ref, *, n_k, nj1, bits, G, out_dtype, act1, act2,
+):
+    j = pl.program_id(1)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(j < nj1)
+    def _seg1():
+        _seg_dot(x1_ref, p1_ref, s1_ref, acc_ref, bits, G)
+
+    @pl.when(j >= nj1)
+    def _seg2():
+        _seg_dot(x2_ref, p2_ref, s2_ref, acc_ref, bits, G)
+
+    @pl.when(pl.program_id(2) == n_k - 1)
+    def _done():
+        @pl.when(j < nj1)
+        def _o1():
+            o_ref[...] = _epilogue(acc_ref[...], b1_ref, act1).astype(out_dtype)
+
+        @pl.when(j >= nj1)
+        def _o2():
+            o_ref[...] = _epilogue(acc_ref[...], b2_ref, act2).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bits", "G", "out_dtype", "bm", "bn", "bk", "act1", "act2", "interpret"
+    ),
+)
+def fused_qkv_up(
+    x1: jax.Array,  # [M, K] (ln1 output — feeds the qkv columns)
+    x2: jax.Array,  # [M, K] (ln2 output — feeds the up columns)
+    p1: jax.Array,  # [L, K(/2), N1] int8 payload (qkv)
+    p2: jax.Array,  # [L, K(/2), N2] int8 payload (up)
+    s1: jax.Array,  # [L, N1] or [L, K/G, N1]
+    s2: jax.Array,
+    b1: jax.Array,  # [L, N1] stacked bias
+    b2: jax.Array,  # [L, N2]
+    layer: jax.Array,
+    bits: int,
+    G: int = 0,
+    out_dtype=None,
+    bm: int = 0,
+    bn: int = 0,
+    bk: int = 1024,
+    act1: str | None = None,
+    act2: str | None = None,  # up's activation, when Mosaic-fusable
+    interpret: bool = False,  # CPU emulation for tests
+):
+    """One pallas_call computing [x1 @ W1 | x2 @ W2] over concatenated output
+    columns. Returns [M, N1 + N2]; the caller slices qkv = [:, :N1],
+    up = [:, N1:]."""
+    M, K = x1.shape
+    L, Kp_, N1 = p1.shape
+    N2 = p2.shape[2]
+    pack = 2 if bits == 4 else 1
+    assert Kp_ * pack == K and p2.shape[1] * pack == K
+    out_dtype = out_dtype or x1.dtype
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    if bn == 0:
+        bn = _largest_divisor_tile(math.gcd(N1, N2), 2560)
+    assert N1 % bn == 0 and N2 % bn == 0
+    bk = _largest_divisor_tile(K, bk)
+    bn = _fit_vmem(bk, bn, pack, math.gcd(N1, N2))
+    if G:
+        assert bk % G == 0
+    nj1, nj2 = N1 // bn, N2 // bn
+    n_k = K // bk
+    x1p, x2p = _pad_to(x1, bm, 0), _pad_to(x2, bm, 0)
+    Mp = x1p.shape[0]
+
+    # Inactive-segment operands freeze at their last-active block (min/where
+    # clamps) so the pipeline never re-fetches them; p2 pays one warm-up
+    # block at grid start.
+    def w1_map(i, j, k, l):
+        return (l[0], jnp.where(j < nj1, k, n_k - 1), jnp.minimum(j, nj1 - 1))
+
+    def w2_map(i, j, k, l):
+        return (l[0], jnp.where(j < nj1, 0, k), jnp.maximum(j - nj1, 0))
+
+    if G:
+        s_block = (1, bk // G, bn)
+        s1_spec = pl.BlockSpec(s_block, w1_map)
+        s2_spec = pl.BlockSpec(s_block, w2_map)
+        s1_op, s2_op = s1, s2
+    else:
+        s1_spec = pl.BlockSpec(
+            (1, 1, bn), lambda i, j, k, l: (l[0], 0, jnp.minimum(j, nj1 - 1))
+        )
+        s2_spec = pl.BlockSpec(
+            (1, 1, bn), lambda i, j, k, l: (l[0], 0, jnp.maximum(j - nj1, 0))
+        )
+        s1_op, s2_op = s1.reshape(L, 1, N1), s2.reshape(L, 1, N2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // bm, nj1 + nj2, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, k)),
+            pl.BlockSpec((1, bk // pack, bn), w1_map),
+            pl.BlockSpec((1, bk // pack, bn), w2_map),
+            s1_spec,
+            s2_spec,
+            pl.BlockSpec(
+                (1, 1, bn), lambda i, j, k, l: (l[0], 0, jnp.minimum(j, nj1 - 1))
+            ),
+            pl.BlockSpec(
+                (1, 1, bn), lambda i, j, k, l: (l[0], 0, jnp.maximum(j - nj1, 0))
+            ),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_qkv_up, n_k=n_k, nj1=nj1, bits=bits, G=G,
+            out_dtype=out_dtype, act1=act1, act2=act2,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N1 + N2), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * (N1 + N2) * K,
+            bytes_accessed=2 * Mp * K * 2 + K * (N1 + N2) // pack + Mp * (N1 + N2) * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x1p, x2p, p1, p2, s1_op, s2_op,
+        b1.reshape(L, 1, N1), b2.reshape(L, 1, N2),
+    )
+    return out[:M]
+
+
+# ---------------------------------------------------------------- kernel B
+
+
+def _kernel_proj_down(
+    l_ref, x1_ref, x2_ref, p1_ref, p2_ref, s1_ref, s2_ref, b_ref, r_ref,
+    o_ref, acc_ref, *, n_k, nk1, bits, G, out_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(k < nk1)
+    def _seg1():
+        _seg_dot(x1_ref, p1_ref, s1_ref, acc_ref, bits, G)
+
+    @pl.when(k >= nk1)
+    def _seg2():
+        _seg_dot(x2_ref, p2_ref, s2_ref, acc_ref, bits, G)
+
+    @pl.when(k == n_k - 1)
+    def _done():
+        y = acc_ref[...] + b_ref[0].astype(jnp.float32)
+        y = y + r_ref[...].astype(jnp.float32)
+        o_ref[...] = y.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "G", "out_dtype", "bm", "bn", "bk", "interpret")
+)
+def fused_proj_down(
+    x1: jax.Array,  # [M, K1] (attention output — contracts with proj)
+    x2: jax.Array,  # [M, K2] (activated FFN hidden — contracts with down)
+    p1: jax.Array,  # [L, K1(/2), N] int8 payload (proj)
+    p2: jax.Array,  # [L, K2(/2), N] int8 payload (down)
+    s1: jax.Array,  # [L, N] or [L, K1/G, N]
+    s2: jax.Array,
+    bias: jax.Array,  # [L, N] stacked (down_b: the pre-summed parallel bias)
+    residual: jax.Array,  # [M, N] — the block input x
+    layer: jax.Array,
+    bits: int,
+    G: int = 0,
+    out_dtype=None,
+    bm: int = 0,
+    bn: int = 0,
+    bk: int = 0,
+    interpret: bool = False,  # CPU emulation for tests
+):
+    """One pallas_call computing x1 @ W1 + x2 @ W2 + bias[layer] + residual —
+    the ENTIRE parallel-residual merge: its output is the layer output."""
+    M, K1 = x1.shape
+    K2 = x2.shape[1]
+    L, _, N = p1.shape
+    pack = 2 if bits == 4 else 1
+    assert p1.shape[1] * pack == K1 and p2.shape[1] * pack == K2
+    out_dtype = out_dtype or x1.dtype
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    if bn == 0:
+        bn = _largest_divisor_tile(N, 2560)
+    if bk == 0:
+        bk = _largest_divisor_tile(math.gcd(K1, K2), 1280)
+    bn = _fit_vmem(bk, bn, pack, N)
+    assert K1 % bk == 0 and K2 % bk == 0
+    if G:
+        assert bk % G == 0
+    nk1, nk2 = K1 // bk, K2 // bk
+    n_k = nk1 + nk2
+    x1p, x2p = _pad_to(x1, bm, 0), _pad_to(x2, bm, 0)
+    rp = _pad_to(residual, bm, 0)
+    Mp = x1p.shape[0]
+
+    def w1_map(i, j, k, l):
+        return (l[0], jnp.minimum(k, nk1 - 1), j)
+
+    def w2_map(i, j, k, l):
+        return (l[0], jnp.maximum(k - nk1, 0), j)
+
+    if G:
+        s1_spec = pl.BlockSpec((1, bk // G, bn), w1_map)
+        s2_spec = pl.BlockSpec((1, bk // G, bn), w2_map)
+        s1_op, s2_op = s1, s2
+    else:
+        s1_spec = pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j))
+        s2_spec = pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j))
+        s1_op, s2_op = s1.reshape(L, 1, N), s2.reshape(L, 1, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // bm, N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, jnp.minimum(k, nk1 - 1))),
+            pl.BlockSpec((bm, bk), lambda i, j, k, l: (i, jnp.maximum(k - nk1, 0))),
+            pl.BlockSpec((1, bk // pack, bn), w1_map),
+            pl.BlockSpec((1, bk // pack, bn), w2_map),
+            s1_spec,
+            s2_spec,
+            pl.BlockSpec((1, 1, bn), lambda i, j, k, l: (l[0], 0, j)),
+            pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_proj_down, n_k=n_k, nk1=nk1, bits=bits, G=G,
+            out_dtype=out_dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * N * (K1 + K2),
+            bytes_accessed=Mp * (K1 + K2) * 2 + (K1 + K2) * N // pack + 2 * Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        x1p, x2p, p1, p2, s1_op, s2_op, bias.reshape(L, 1, N), rp,
+    )
+    return out[:M]

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--dh", type=int, default=128)
     ap.add_argument("--dtype", default="int8", choices=["int8", "bf16"])
     ap.add_argument("--bs", type=int, default=512)
+    ap.add_argument("--hb", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -67,7 +68,7 @@ def main():
         def flash_call(l):
             return flash_decode_stacked(
                 q, cache["k"], ks, cache["v"], vs, l, positions,
-                sm_scale=sm, bs=args.bs,
+                sm_scale=sm, bs=args.bs, hb=args.hb,
             )
 
         print(f"== B={B} nH={nH} dh={dh} S={S} {args.dtype}  SoL={sol_us:.1f}us")

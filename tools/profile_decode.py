@@ -56,11 +56,10 @@ def main():
         dt = time.perf_counter() - t0
         return out, dt
 
-    run()  # compile + warm
-    out, dt = run()
-    # subtract a rough prefill estimate by running a 1-token-out config? keep simple:
-    # per-step from two different out lens
     out2_len = max(args.out_len // 2, 1)
+    run()  # compile + warm the out_len config
+    eng.generate(ids, output_len=out2_len, top_k=1, min_length=out2_len)  # warm out2
+    out, dt = run()
     t0 = time.perf_counter()
     eng.generate(ids, output_len=out2_len, top_k=1, min_length=out2_len)
     dt2 = time.perf_counter() - t0

@@ -112,6 +112,23 @@ def main():
         print(f"{name:10s} kernel-vs-xla logits rel err: {rel:.4f}")
         assert rel < 0.02, f"{name} kernel diverges from XLA fallback"
 
+    # --- fused decode block (merged pair kernels) vs unmerged decode --------
+    for name, bits, gs in (("int8", 8, 0), ("int4", 4, 0), ("int4-g128", 4, 128)):
+        qp = quantize_params(params_fp, weight_bits=bits, group_size=gs)
+        toks = {}
+        for fused in (True, False):
+            eng = GptNeoXEngine(
+                cfg, qp,
+                RuntimeConfig(
+                    dtype="bf16", int8_mode=1, seq_bucket=8, fused_decode=fused
+                ),
+            )
+            out = eng.generate([prompt], output_len=8, top_k=1)
+            toks[fused] = out.output_ids[0, 0, len(prompt) : len(prompt) + 8].tolist()
+        print(f"{name:10s} fused-decode tokens: {toks[True]} vs {toks[False]}")
+        assert toks[True] == toks[False], f"{name}: fused decode diverges"
+    print("fused decode == unmerged decode:", True)
+
     # --- streaming == batch; beam; batcher ----------------------------------
     eng = GptNeoXEngine(cfg, params_fp, RuntimeConfig(dtype="bf16", seq_bucket=8))
     stream_toks = []
