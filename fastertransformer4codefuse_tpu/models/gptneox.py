@@ -54,21 +54,19 @@ def _activation(config: GptNeoXConfig, x: jax.Array) -> jax.Array:
     return apply_act(x, config.activation)
 
 
-def _layer_slice(layers: Dict[str, Any], l) -> Dict[str, Any]:
+def _layer_slice(layers: Dict[str, Any], l, extra=None) -> Dict[str, Any]:
     """Per-layer view: plain arrays are dynamically indexed (the slice fuses
     into their consumers), QuantizedTensors stay STACKED — the Pallas kernels
     index them internally via scalar prefetch, and slicing them here would
-    materialize a full weight copy per GEMM. Biases also pass through STACKED
-    (``*__all``) for the fused decode kernels, which index them in-kernel via
-    the prefetched layer id; the sliced entries remain for the unmerged paths
-    (dead — and traced away — when the fused path runs)."""
+    materialize a full weight copy per GEMM. ``extra`` entries (pre-shaped
+    stacked views for the fused decode kernels, which index the layer
+    in-kernel via scalar prefetch) pass through unsliced."""
     lp = {
         k: (v if isinstance(v, QuantizedTensor) else v[l])
         for k, v in layers.items()
     }
-    for k in ("qkv_b", "up_b", "down_b"):
-        if k in layers and not isinstance(layers[k], QuantizedTensor):
-            lp[k + "__all"] = layers[k]
+    if extra:
+        lp.update(extra)
     return lp
 
 
@@ -81,80 +79,51 @@ def set_fused_decode(flag: bool) -> None:
     _FUSED_DECODE = bool(flag)
 
 
-def _fused_pair_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
-    """True when the decode block can run as TWO merged Pallas kernels
-    (ops/quant_matmul_fused): parallel residual, all four GEMMs stacked
-    QuantizedTensors of one (bits, group) config, tileable dims."""
+def _fused_pd_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
+    """True when the decode block's proj+down GEMMs (and the parallel
+    residual + bias) can merge into ONE Pallas kernel
+    (ops/quant_matmul_fused.fused_proj_down): parallel residual, both
+    weights stacked QuantizedTensors of one (bits, group) config, tileable
+    contraction. (Measured on v5e: the merged kernel matches the separate
+    pair's device time while deleting the residual-add and bias-slice ops;
+    the qkv+up N-merge measured SLOWER and stays unmerged.)"""
     from ..ops import linear as lin
 
     if not (_FUSED_DECODE and config.use_gptj_residual and lin._ON_TPU):
         return False
-    ws = [lp.get(k) for k in ("qkv_w", "up_w", "proj_w", "down_w")]
+    ws = [lp.get(k) for k in ("proj_w", "down_w")]
     if not all(isinstance(w, QuantizedTensor) and w.q.ndim == 3 for w in ws):
         return False
     if len({w.bits for w in ws}) != 1 or len({w.group_size for w in ws}) != 1:
         return False
     if ws[0].bits == 8 and not lin.use_pallas():
         return False
-    if not all(k + "__all" in lp for k in ("qkv_b", "up_b", "down_b")):
+    if "down_b__3d" not in lp:
         return False
     import math
 
     H = config.hidden_size
-    N1, N2 = 3 * config.head_num * config.size_per_head, config.inter_size
     G = ws[0].group_size
-    bn_a = math.gcd(N1, N2)
     bk_b = math.gcd(H, config.inter_size)
-    if bn_a % 128 or bk_b % 256:
+    if H % 128 or bk_b % 256:
         return False
-    if G and (bk_b % G or H % G):
+    if G and bk_b % (8 * G):  # group-scale block tiling needs bk >= 8*G
         return False
     return True
-
-
-def _block_decode_fused_gemms(config, lp, x, attn_fn, layer):
-    """Parallel-residual decode block on the two merged kernels.
-
-    x: [B, 1, H]. attn_fn(q, k, v) -> attention context [B, nH*dh] (the caller
-    closes over cache/positions). Returns the layer output [B, 1, H]."""
-    from ..ops.quant_matmul_fused import fused_proj_down, fused_qkv_up
-    from ..ops.quant_matmul_w4 import PALLAS_FUSABLE_ACTS, apply_act
-
-    B, S, H = x.shape
-    nH, dh = config.head_num, config.size_per_head
-    N1 = 3 * nH * dh
-    qkv_w, up_w = lp["qkv_w"], lp["up_w"]
-    proj_w, down_w = lp["proj_w"], lp["down_w"]
-    bits, G = qkv_w.bits, qkv_w.group_size
-
-    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)[:, 0]
-    ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)[:, 0]
-    act = config.activation
-    k_act, post_act = (act, None) if act in PALLAS_FUSABLE_ACTS else (None, act)
-    y = fused_qkv_up(
-        ln1, ln2, qkv_w.q, up_w.q, qkv_w.scale, up_w.scale,
-        lp["qkv_b__all"], lp["up_b__all"], layer, bits=bits, G=G,
-        act2=k_act,
-    )
-    qkv, h = y[:, :N1], y[:, N1:]
-    if post_act is not None:
-        h = apply_act(h, post_act)
-    attn = attn_fn(qkv.reshape(B, 1, nH, 3, dh))  # [B, nH*dh]
-    out = fused_proj_down(
-        attn, h, proj_w.q, down_w.q, proj_w.scale, down_w.scale,
-        lp["down_b__all"], x[:, 0], layer, bits=bits, G=G,
-    )
-    return out[:, None, :]
 
 
 def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
     """ln1 -> fused QKV -> split heads -> rotary. x: [B, S, H].
 
     qkv_w's flat output axis is ordered (head, qkv, dh) — HF's native layout —
-    so the per-head q/k/v split is a reshape, never a transpose."""
+    so the per-head q/k/v split is a reshape, never a transpose. The decode
+    scan passes the STACKED [L, 1, N] bias view (``qkv_b__3d``) so the Pallas
+    kernel indexes it in-kernel instead of paying a per-layer slice op."""
     B, S, _ = x.shape
     nH, dh = config.head_num, config.size_per_head
-    qkv = linear(x, lp["qkv_w"], lp["qkv_b"], layer=layer)  # [B, S, 3*nH*dh]
+    qkv = linear(
+        x, lp["qkv_w"], lp.get("qkv_b__3d", lp["qkv_b"]), layer=layer
+    )  # [B, S, 3*nH*dh]
     qkv = qkv.reshape(B, S, nH, 3, dh)
     q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [B, S, nH, dh]
     rot = config.rotary_embedding_dim
@@ -165,8 +134,12 @@ def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
 
 def _ffn(config: GptNeoXConfig, lp, x, layer=None):
     # bias + activation fuse into the up-GEMM (Pallas epilogue on TPU, XLA
-    # fusion elsewhere) = the reference's invokeAddBiasGeluV2 epilogue
-    h = linear(x, lp["up_w"], lp["up_b"], layer=layer, act=config.activation)
+    # fusion elsewhere) = the reference's invokeAddBiasGeluV2 epilogue;
+    # stacked [L, 1, N] bias view when the decode scan provides it
+    h = linear(
+        x, lp["up_w"], lp.get("up_b__3d", lp["up_b"]), layer=layer,
+        act=config.activation,
+    )
     # down bias applied by caller (residual fusion)
     return linear(h, lp["down_w"], layer=layer)
 
@@ -224,25 +197,6 @@ def block_decode(
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
     rot = config.rotary_embedding_dim
 
-    if _fused_pair_ok(config, lp):
-        # merged-kernel decode block: 2 pallas_calls instead of 4, biases
-        # indexed in-kernel, residual fused into the second kernel's epilogue
-        new_cache = {}
-
-        def attn_fn(qkv5):
-            q, k, v = qkv5[:, :, :, 0], qkv5[:, :, :, 1], qkv5[:, :, :, 2]
-            q = apply_rotary(q, cos, sin, rot, config.rotary_style)
-            k = apply_rotary(k, cos, sin, rot, config.rotary_style)
-            c2 = kvc.write_decode(cache, layer, k, v, positions, skip=kv_skip)
-            new_cache.update(c2)
-            attn = kvc.attend_decode(
-                c2, layer, q[:, 0], valid, sm_scale, positions, beam=beam
-            )
-            return attn.reshape(B, H)
-
-        out = _block_decode_fused_gemms(config, lp, x, attn_fn, layer)
-        return out, new_cache
-
     ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, 1, nH, dh]
 
@@ -251,6 +205,25 @@ def block_decode(
     attn = kvc.attend_decode(
         cache, layer, q[:, 0], valid, sm_scale, positions, beam=beam
     )  # [B, nH, dh]
+
+    if _fused_pd_ok(config, lp):
+        # proj + down + parallel residual + layer bias as ONE Pallas kernel:
+        # its output IS the layer output (ops/quant_matmul_fused)
+        from ..ops.quant_matmul_fused import fused_proj_down
+
+        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        h = linear(
+            ln2, lp["up_w"], lp.get("up_b__3d", lp["up_b"]), layer=layer,
+            act=config.activation,
+        )
+        proj_w, down_w = lp["proj_w"], lp["down_w"]
+        out = fused_proj_down(
+            attn.reshape(B, H), h[:, 0], proj_w.q, down_w.q,
+            proj_w.scale, down_w.scale, lp["down_b__3d"], x[:, 0], layer,
+            bits=proj_w.bits, G=proj_w.group_size,
+        )
+        return out[:, None, :], cache
+
     attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
@@ -339,7 +312,19 @@ def prefill_chunk(
     return x, cache
 
 
-def _scan_layers(config, params, x, cache, per_layer_fn, unroll=False):
+def _decode_bias_views(layers: Dict[str, Any]) -> Dict[str, Any]:
+    """Pre-shaped [L, 1, N] stacked-bias views for the fused decode kernels.
+    Must be built OUTSIDE the layer scan (once per step) — inside the body the
+    reshape lowers to a full bias-slab relayout copy per layer."""
+    out = {}
+    for k in ("qkv_b", "up_b", "down_b"):
+        v = layers.get(k)
+        if v is not None and not isinstance(v, QuantizedTensor) and v.ndim == 2:
+            out[k + "__3d"] = v.reshape(v.shape[0], 1, v.shape[1])
+    return out
+
+
+def _scan_layers(config, params, x, cache, per_layer_fn, unroll=False, extra=None):
     """Run the layer stack via lax.scan over the layer index.
 
     Both the cache and the weights stay OUT of scan xs/ys: the cache rides the
@@ -347,6 +332,10 @@ def _scan_layers(config, params, x, cache, per_layer_fn, unroll=False):
     dynamically indexed in the body (the slice fuses into consumers), and
     quantized kernels stay stacked for the scalar-prefetch Pallas kernels.
     The xs/ys form re-assembles stacked slabs with a full copy every call.
+
+    ``extra`` (e.g. the decode path's pre-shaped [L, 1, N] bias views) passes
+    through to every lp unsliced — computed ONCE per step, outside the scan,
+    because a reshape inside the body lowers to a per-layer relayout copy.
 
     ``unroll=True`` runs a plain Python loop instead — only for offline tools
     that need concrete per-layer values outside jit (ckpt.calibrate's
@@ -356,7 +345,7 @@ def _scan_layers(config, params, x, cache, per_layer_fn, unroll=False):
 
     def body(carry, l):
         x, cache = carry
-        lp = _layer_slice(layers, l)
+        lp = _layer_slice(layers, l, extra)
         y, cache = per_layer_fn(lp, x, cache, l)
         return (y, cache), None
 
@@ -429,7 +418,9 @@ def decode_step(
     fn = lambda lp, x, c, l: block_decode(
         config, lp, x, c, l, cos, sin, positions, valid, beam=beam, kv_skip=kv_skip
     )
-    x, cache = _scan_layers(config, params, x, cache, fn)
+    x, cache = _scan_layers(
+        config, params, x, cache, fn, extra=_decode_bias_views(params["layers"])
+    )
     return x[:, 0], cache
 
 

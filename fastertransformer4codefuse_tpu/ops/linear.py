@@ -111,7 +111,11 @@ def quantized_matmul(
         k_act, post_act = (act, None) if act in PALLAS_FUSABLE_ACTS else (None, act)
         x2d = x.reshape(-1, x.shape[-1])
         out_shape = x.shape[:-1] + w.q.shape[2:]
-        b2d = None if bias is None else bias.reshape(-1)
+        # [L, 1, N] stacked biases pass through whole (indexed in-kernel by
+        # the prefetched layer); per-layer biases flatten to [N]
+        b2d = bias if bias is not None and bias.ndim == 3 else (
+            None if bias is None else bias.reshape(-1)
+        )
         y = None
         if w.bits == 4 and w.group_size:
             from .quant_matmul_w4 import quant_matmul_w4_group_stacked
@@ -140,6 +144,8 @@ def quantized_matmul(
             return y.reshape(out_shape)
     if stacked:
         w = w[layer]
+    if bias is not None and bias.ndim == 3:  # stacked [L, 1, N] on a fallback path
+        bias = bias[layer, 0]
     # bits=4 on TPU always takes the Pallas kernel: measured 22ms/step vs
     # 35ms for the XLA bitcast double-contraction on 13B decode
     if w.bits == 4 and _ON_TPU:
@@ -201,6 +207,8 @@ def linear(
     if isinstance(w, QuantizedTensor):
         y = quantized_matmul(x, w, layer=layer, bias=b, act=act)
     else:
+        if b is not None and b.ndim == 3 and layer is not None:
+            b = b[layer, 0]  # stacked [L, 1, N] view on the dense path
         out_shape = x.shape[:-1] + w.shape[1:]
         x2d = x.reshape(-1, x.shape[-1])
         w2d = w.reshape(w.shape[0], -1)

@@ -145,7 +145,7 @@ def quant_matmul_pallas_stacked(
     bm: int = 0,
     bn: int = 2560,
     bk: int = 2048,  # sweep: 141.2us vs 146.1 at bk=1024 on the 13B up/down shapes
-    bias=None,  # [N] (pre-sliced per layer) — fused f32 bias add in the epilogue
+    bias=None,  # [N] per-layer, or [L, 1, N] stacked (indexed in-kernel)
     act: str | None = None,  # fused activation in the epilogue
 ):
     """Layer-indexed fused dequant matmul over the stacked per-layer weights.
@@ -186,9 +186,16 @@ def quant_matmul_pallas_stacked(
     ]
     operands = [xp, w_all, s_all.reshape(L, 1, N)]
     if bias is not None:
-        assert bias.shape == (N,)
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
-        operands.append(bias.reshape(1, N))
+        if bias.ndim == 3:  # [L, 1, N] stacked — indexed by the prefetched layer
+            assert bias.shape == (L, 1, N)
+            in_specs.append(
+                pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j))
+            )
+            operands.append(bias)
+        else:
+            assert bias.shape == (N,)
+            in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
+            operands.append(bias.reshape(1, N))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // bm, N // bn, n_k),

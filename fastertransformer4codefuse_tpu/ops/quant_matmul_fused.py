@@ -130,8 +130,10 @@ def fused_qkv_up(
     p2: jax.Array,  # [L, K(/2), N2] int8 payload (up)
     s1: jax.Array,  # [L, N1] or [L, K/G, N1]
     s2: jax.Array,
-    b1: jax.Array,  # [L, N1] stacked bias
-    b2: jax.Array,  # [L, N2]
+    b1: jax.Array,  # [L, 1, N1] stacked bias (pre-shaped OUTSIDE the layer
+    # scan: reshaping [L, N] per call lowers to a full relayout copy of the
+    # bias slab per layer per step — measured 0.7ms/step on 13B)
+    b2: jax.Array,  # [L, 1, N2]
     layer: jax.Array,
     bits: int,
     G: int = 0,
@@ -151,16 +153,22 @@ def fused_qkv_up(
     N2 = p2.shape[2]
     pack = 2 if bits == 4 else 1
     assert Kp_ * pack == K and p2.shape[1] * pack == K
+    assert b1.shape == (L, 1, N1) and b2.shape == (L, 1, N2)
     out_dtype = out_dtype or x1.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
     if bn == 0:
         bn = _largest_divisor_tile(math.gcd(N1, N2), 2560)
     assert N1 % bn == 0 and N2 % bn == 0
-    bk = _largest_divisor_tile(K, bk)
-    bn = _fit_vmem(bk, bn, pack, math.gcd(N1, N2))
     if G:
-        assert bk % G == 0
+        # Mosaic tiling: the [1, bk//G, bn] scale block's middle dim must be
+        # a multiple of 8 (or the whole K/G axis), so bk must be >= 8*G
+        bk = _largest_divisor_tile(K, max(bk, 8 * G), floor=8 * G)
+        # bk == K is also legal: the scale block then covers the whole K/G axis
+        assert bk % (8 * G) == 0 or bk == K, (bk, G, K)
+    else:
+        bk = _largest_divisor_tile(K, bk)
+    bn = _fit_vmem(bk, bn, pack, math.gcd(N1, N2))
     nj1, nj2 = N1 // bn, N2 // bn
     n_k = K // bk
     x1p, x2p = _pad_to(x1, bm, 0), _pad_to(x2, bm, 0)
@@ -227,8 +235,7 @@ def fused_qkv_up(
         interpret=interpret,
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
-        x1p, x2p, p1, p2, s1_op, s2_op,
-        b1.reshape(L, 1, N1), b2.reshape(L, 1, N2),
+        x1p, x2p, p1, p2, s1_op, s2_op, b1, b2,
     )
     return out[:M]
 
@@ -271,7 +278,8 @@ def fused_proj_down(
     p2: jax.Array,  # [L, K2(/2), N] int8 payload (down)
     s1: jax.Array,  # [L, N] or [L, K1/G, N]
     s2: jax.Array,
-    bias: jax.Array,  # [L, N] stacked (down_b: the pre-summed parallel bias)
+    bias: jax.Array,  # [L, 1, N] stacked (down_b: the pre-summed parallel
+    # bias), pre-shaped outside the layer scan (see fused_qkv_up)
     residual: jax.Array,  # [M, N] — the block input x
     layer: jax.Array,
     bits: int,
@@ -279,7 +287,7 @@ def fused_proj_down(
     out_dtype=None,
     bm: int = 0,
     bn: int = 0,
-    bk: int = 0,
+    bk: int = 640,  # sweep: 99.7us/layer at bk=640/bn=5120 vs 107 at bk=2560
     interpret: bool = False,  # CPU emulation for tests
 ):
     """One pallas_call computing x1 @ W1 + x2 @ W2 + bias[layer] + residual —
@@ -289,17 +297,23 @@ def fused_proj_down(
     L, _, N = p1.shape
     pack = 2 if bits == 4 else 1
     assert p1.shape[1] * pack == K1 and p2.shape[1] * pack == K2
+    assert bias.shape == (L, 1, N)
     out_dtype = out_dtype or x1.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
     if bn == 0:
-        bn = _largest_divisor_tile(N, 2560)
+        bn = _largest_divisor_tile(N, 5120)
     if bk == 0:
-        bk = _largest_divisor_tile(math.gcd(K1, K2), 1280)
+        bk = _largest_divisor_tile(math.gcd(K1, K2), 640)
+    if G:
+        # scale-block middle dim (bk//G) must be a multiple of 8 — see kernel A
+        bk = _largest_divisor_tile(math.gcd(K1, K2), max(bk, 8 * G), floor=8 * G)
+        # bk == K1 == K2 also legal (scale blocks cover their whole K/G axes)
+        assert bk % (8 * G) == 0 or bk == K1 == K2, (bk, G, K1, K2)
+    else:
+        bk = _largest_divisor_tile(math.gcd(K1, K2), bk)
     bn = _fit_vmem(bk, bn, pack, N)
     assert K1 % bk == 0 and K2 % bk == 0
-    if G:
-        assert bk % G == 0
     nk1, nk2 = K1 // bk, K2 // bk
     n_k = nk1 + nk2
     x1p, x2p = _pad_to(x1, bm, 0), _pad_to(x2, bm, 0)
@@ -355,6 +369,6 @@ def fused_proj_down(
         interpret=interpret,
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
-        x1p, x2p, p1, p2, s1_op, s2_op, bias.reshape(L, 1, N), rp,
+        x1p, x2p, p1, p2, s1_op, s2_op, bias, rp,
     )
     return out[:M]

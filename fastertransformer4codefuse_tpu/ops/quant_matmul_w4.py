@@ -185,7 +185,8 @@ def quant_matmul_w4_pallas_stacked(
     bm: int = 0,
     bn: int = 5120,
     bk: int = 2048,  # sweep: 76.9us vs 78.5 at bk=1024 on the 13B up/down shapes
-    bias=None,  # [N] (pre-sliced per layer) — fused f32 bias add in the epilogue
+    bias=None,  # [N] per-layer, or [L, 1, N] stacked (indexed in-kernel via
+    # the prefetched layer — avoids a per-layer bias slice op per step)
     act: str | None = None,  # fused activation in the epilogue
 ):
     """Layer-indexed W4 kernel over the stacked weights (see
@@ -210,9 +211,16 @@ def quant_matmul_w4_pallas_stacked(
     ]
     operands = [xp, packed_all, s_all.reshape(L, 1, N)]
     if bias is not None:
-        assert bias.shape == (N,)
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
-        operands.append(bias.reshape(1, N))
+        if bias.ndim == 3:  # [L, 1, N] stacked — indexed by the prefetched layer
+            assert bias.shape == (L, 1, N)
+            in_specs.append(
+                pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j))
+            )
+            operands.append(bias)
+        else:
+            assert bias.shape == (N,)
+            in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
+            operands.append(bias.reshape(1, N))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // bm, N // bn, n_k),
@@ -283,7 +291,7 @@ def quant_matmul_w4_group_stacked(
     bm: int = 0,
     bn: int = 5120,
     bk: int = 1024,
-    bias=None,  # [N] (pre-sliced per layer) — fused f32 bias add in the epilogue
+    bias=None,  # [N] per-layer or [L, 1, N] stacked (see the per-channel kernel)
     act: str | None = None,  # fused activation in the epilogue
 ):
     """Group-wise-scale W4 kernel: the scale applies inside the contraction,
@@ -309,9 +317,16 @@ def quant_matmul_w4_group_stacked(
     ]
     operands = [xp, packed_all, s_all]
     if bias is not None:
-        assert bias.shape == (N,)
-        in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
-        operands.append(bias.reshape(1, N))
+        if bias.ndim == 3:  # [L, 1, N] stacked — indexed by the prefetched layer
+            assert bias.shape == (L, 1, N)
+            in_specs.append(
+                pl.BlockSpec((1, 1, bn), lambda i, j, k, l_ref: (l_ref[0], 0, j))
+            )
+            operands.append(bias)
+        else:
+            assert bias.shape == (N,)
+            in_specs.append(pl.BlockSpec((1, bn), lambda i, j, k, l_ref: (0, j)))
+            operands.append(bias.reshape(1, N))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // bm, N // bn, n_k),

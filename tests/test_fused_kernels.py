@@ -35,8 +35,8 @@ def test_fused_qkv_up_int8(G):
     p2 = jnp.asarray(rng.integers(-128, 128, (L, K, N2)), jnp.int8)
     s1 = _mk(rng, (L, N1) if not G else (L, K // G, N1))
     s2 = _mk(rng, (L, N2) if not G else (L, K // G, N2))
-    b1 = jnp.asarray(rng.standard_normal((L, N1)), jnp.float32)
-    b2 = jnp.asarray(rng.standard_normal((L, N2)), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((L, 1, N1)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((L, 1, N2)), jnp.float32)
     y = fused_qkv_up(
         x1, x2, p1, p2, s1, s2, b1, b2, jnp.int32(1), bits=8, G=G,
         bn=256, bk=256, interpret=True,
@@ -47,14 +47,14 @@ def test_fused_qkv_up_int8(G):
         r1 = sum(
             (x1f[:, g * G : (g + 1) * G] @ w1[g * G : (g + 1) * G]) * s1[1][g]
             for g in range(K // G)
-        ) + b1[1]
+        ) + b1[1, 0]
         r2 = sum(
             (x2f[:, g * G : (g + 1) * G] @ w2[g * G : (g + 1) * G]) * s2[1][g]
             for g in range(K // G)
-        ) + b2[1]
+        ) + b2[1, 0]
     else:
-        r1 = (x1f @ w1) * s1[1] + b1[1]
-        r2 = (x2f @ w2) * s2[1] + b2[1]
+        r1 = (x1f @ w1) * s1[1] + b1[1, 0]
+        r2 = (x2f @ w2) * s2[1] + b2[1, 0]
     ref = jnp.concatenate([r1, r2], axis=1).astype(jnp.bfloat16)
     err = float(
         jnp.max(jnp.abs(y.astype(jnp.float32) - ref.astype(jnp.float32)))
@@ -66,14 +66,14 @@ def test_fused_qkv_up_int8(G):
 @pytest.mark.parametrize("G", [0, 128])
 def test_fused_proj_down_int8_with_residual(G):
     rng = np.random.default_rng(1)
-    M, K1, K2, N, L = 3, 512, 1024, 768, 2
+    M, K1, K2, N, L = 3, 1024, 2048, 768, 2
     x1 = jnp.asarray(rng.standard_normal((M, K1)), jnp.bfloat16)
     x2 = jnp.asarray(rng.standard_normal((M, K2)), jnp.bfloat16)
     p1 = jnp.asarray(rng.integers(-128, 128, (L, K1, N)), jnp.int8)
     p2 = jnp.asarray(rng.integers(-128, 128, (L, K2, N)), jnp.int8)
     s1 = _mk(rng, (L, N) if not G else (L, K1 // G, N))
     s2 = _mk(rng, (L, N) if not G else (L, K2 // G, N))
-    b = jnp.asarray(rng.standard_normal((L, N)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((L, 1, N)), jnp.float32)
     res = jnp.asarray(rng.standard_normal((M, N)), jnp.bfloat16)
     y = fused_proj_down(
         x1, x2, p1, p2, s1, s2, b, res, jnp.int32(0), bits=8, G=G,
@@ -91,7 +91,7 @@ def test_fused_proj_down_int8_with_residual(G):
         )
     else:
         r = (x1f @ w1) * s1[0] + (x2f @ w2) * s2[0]
-    ref = (r + b[0] + res.astype(jnp.float32)).astype(jnp.bfloat16)
+    ref = (r + b[0, 0] + res.astype(jnp.float32)).astype(jnp.bfloat16)
     err = float(
         jnp.max(jnp.abs(y.astype(jnp.float32) - ref.astype(jnp.float32)))
         / (jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-6)
