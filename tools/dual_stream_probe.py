@@ -22,10 +22,24 @@ H, F = 5120, 20480
 HBM_GBPS = 819.0
 
 
-def make_kernel(n_streams, n_k, out_dtype, bits):
+def make_kernel(n_streams, n_k, out_dtype, bits, conv="bf16"):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    def unpack(p_ref, dtype):
+        if bits != 4:
+            return p_ref[0].astype(dtype)
+        w4 = pltpu.bitcast(p_ref[0], jnp.int4)
+        if conv == "bf16":  # current production path
+            return w4.astype(dtype)
+        if conv == "int8":  # via int8 (exact) then the hw int8->bf16 convert
+            return w4.astype(jnp.int8).astype(dtype)
+        if conv == "f32":
+            return w4.astype(jnp.float32).astype(dtype)
+        if conv == "raw":  # hand the int4 operand straight to the MXU dot
+            return w4
+        raise ValueError(conv)
 
     def kernel(l_ref, *refs):
         x_refs = refs[:n_streams]
@@ -38,10 +52,7 @@ def make_kernel(n_streams, n_k, out_dtype, bits):
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         for x_ref, p_ref in zip(x_refs, p_refs):
-            if bits == 4:
-                w = pltpu.bitcast(p_ref[0], jnp.int4).astype(x_ref.dtype)
-            else:
-                w = p_ref[0].astype(x_ref.dtype)
+            w = unpack(p_ref, x_ref.dtype)
             acc_ref[...] += jnp.dot(
                 x_ref[...], w, preferred_element_type=jnp.float32
             )
@@ -55,7 +66,7 @@ def make_kernel(n_streams, n_k, out_dtype, bits):
     return kernel
 
 
-def run_case(n_streams, K, N, L, bits, bk, bn, M=1):
+def run_case(n_streams, K, N, L, bits, bk, bn, M=1, conv="bf16"):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -91,7 +102,7 @@ def run_case(n_streams, K, N, L, bits, bk, bn, M=1):
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
     )
     call = pl.pallas_call(
-        make_kernel(n_streams, n_k, jnp.bfloat16, bits),
+        make_kernel(n_streams, n_k, jnp.bfloat16, bits, conv),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bm, N), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
@@ -119,7 +130,7 @@ def run_case(n_streams, K, N, L, bits, bk, bn, M=1):
     try:
         float(many(*args))
     except Exception as e:
-        print(f"  streams={n_streams} bk={bk} bn={bn}: FAIL {str(e)[:80]}")
+        print(f"  streams={n_streams} conv={conv} bk={bk} bn={bn}: FAIL {str(e)[:110]}")
         return
     tdir = "/tmp/dual_probe"
     shutil.rmtree(tdir, ignore_errors=True)
@@ -130,7 +141,7 @@ def run_case(n_streams, K, N, L, bits, bk, bn, M=1):
     tot = sum(ms for _, ms, _, _ in rows)
     us = tot / L * 1000
     gbps = (K * N // pack) / (us * 1e-6) / 1e9
-    print(f"  streams={n_streams} bk={bk} bn={bn}: {us:7.1f}us/layer  {gbps:6.0f} GB/s")
+    print(f"  streams={n_streams} conv={conv} bk={bk} bn={bn}: {us:7.1f}us/layer  {gbps:6.0f} GB/s")
 
 
 def main():
@@ -141,12 +152,8 @@ def main():
     K, N = F, H  # the "down" GEMM: 20480 -> 5120 (52.4MB int4)
     print(f"down-shape {K}x{N} bits={args.bits}  SoL(819)= "
           f"{K*N//(2 if args.bits==4 else 1)/HBM_GBPS/1e3:.1f}us")
-    for n_streams, bk, bn in (
-        (1, 2048, 5120),
-        (2, 1024, 5120),
-    ):
-        run_case(n_streams, K, N, args.L, args.bits, bk, bn)
-    run_noprefetch(K, N, args.L, args.bits)
+    for conv in ("bf16", "int8", "raw"):
+        run_case(1, K, N, args.L, args.bits, 2048, 5120, conv=conv)
 
 
 def run_noprefetch(K, N, L, bits):
