@@ -124,7 +124,16 @@ class GptNeoXConfig:
     # ----------------------------------------------------------- presets ---
     @classmethod
     def codefuse_13b(cls) -> "GptNeoXConfig":
-        """CodeFuse-13B: the reference's flagship model (README.md:41)."""
+        """CodeFuse-13B: the reference's flagship model (README.md:41).
+
+        activation is the TANH-approx gelu: the reference engine hardcodes
+        that formula in its FFN kernel (activation_kernels.cu:50-57
+        GeluActivation), so serving CodeFuse through FasterTransformer always
+        runs tanh-gelu regardless of the HF config's exact-erf "gelu". This
+        preset matches the reference's serving numerics (and tanh-gelu fuses
+        into the Pallas up-GEMM epilogue; exact erf cannot lower in Mosaic).
+        Checkpoints converted from HF keep hidden_act verbatim instead
+        (ckpt/convert.py) for HF-exact parity."""
         return cls(
             head_num=40,
             size_per_head=128,
@@ -135,6 +144,7 @@ class GptNeoXConfig:
             start_id=100256,
             end_id=100256,
             use_gptj_residual=True,
+            activation="gelu-tanh",
             model_name="codefuse-13b",
         )
 

@@ -112,6 +112,36 @@ def _fused_pd_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
     return True
 
 
+def _fused_upd_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
+    """True when the WHOLE post-attention block (FFN up + act, attention proj,
+    FFN down, parallel residual, biases) can run as ONE Pallas kernel
+    (ops/quant_matmul_fused.fused_up_proj_down). Beyond _fused_pd_ok it needs
+    the up weight in the same stacked-quantized config, the stacked up-bias
+    view, and a Mosaic-fusable activation (exact-erf gelu cannot lower in a
+    kernel; those configs keep the split path)."""
+    from ..ops.quant_matmul_w4 import PALLAS_FUSABLE_ACTS
+
+    if not _fused_pd_ok(config, lp):
+        return False
+    if config.activation not in PALLAS_FUSABLE_ACTS:
+        return False
+    up = lp.get("up_w")
+    proj = lp["proj_w"]
+    if not (isinstance(up, QuantizedTensor) and up.q.ndim == 3):
+        return False
+    if up.bits != proj.bits or up.group_size != proj.group_size:
+        return False
+    if "up_b__3d" not in lp:
+        return False
+    F = config.inter_size
+    H = config.hidden_size
+    if F % 128 or H % 128:
+        return False
+    if up.group_size and (H % (8 * up.group_size) or F % (8 * up.group_size)):
+        return False
+    return True
+
+
 def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
     """ln1 -> fused QKV -> split heads -> rotary. x: [B, S, H].
 
@@ -205,6 +235,23 @@ def block_decode(
     attn = kvc.attend_decode(
         cache, layer, q[:, 0], valid, sm_scale, positions, beam=beam
     )  # [B, nH, dh]
+
+    if _fused_upd_ok(config, lp):
+        # FFN up + activation + proj + down + parallel residual + biases as
+        # ONE Pallas kernel streaming all three weights through a single
+        # pipeline ramp; its output IS the layer output (quant_matmul_fused)
+        from ..ops.quant_matmul_fused import fused_up_proj_down
+
+        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        up_w, proj_w, down_w = lp["up_w"], lp["proj_w"], lp["down_w"]
+        out = fused_up_proj_down(
+            ln2[:, 0], attn.reshape(B, H), x[:, 0],
+            up_w.q, proj_w.q, down_w.q,
+            up_w.scale, proj_w.scale, down_w.scale,
+            lp["up_b__3d"], lp["down_b__3d"], layer,
+            bits=proj_w.bits, G=proj_w.group_size, act=config.activation,
+        )
+        return out[:, None, :], cache
 
     if _fused_pd_ok(config, lp):
         # proj + down + parallel residual + layer bias as ONE Pallas kernel:

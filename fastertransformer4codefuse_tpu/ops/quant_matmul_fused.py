@@ -63,26 +63,32 @@ def _unpack(p_block, bits, dtype):
     return p_block.astype(dtype)
 
 
-def _seg_dot(x_ref, p_ref, s_ref, acc_ref, bits, G):
-    """acc += (x @ unpack(p)) * scale for one (bk, bn) weight block.
+def _seg_dot_arr(x, p_ref, s_ref, acc_ref, bits, G):
+    """acc += (x @ unpack(p)) * scale for one (bk, bn) weight block, with the
+    activation tile passed as an ARRAY (so callers can feed dynamic VMEM
+    scratch slices, e.g. the staged FFN hidden in the up+proj+down kernel).
 
     G=0: per-channel scale [1, bn] multiplies the partial sum (exact: the
     scale is constant across this segment's K). G>0: one dot per K-group,
     each scaled by its [1, bn] group-scale row (quant_matmul_w4's group
     formulation)."""
-    w = _unpack(p_ref[0], bits, x_ref.dtype)
+    w = _unpack(p_ref[0], bits, x.dtype)
     if not G:
-        part = jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+        part = jnp.dot(x, w, preferred_element_type=jnp.float32)
         acc_ref[...] += part * s_ref[0, 0][None, :].astype(jnp.float32)
         return
     bk = w.shape[0]
     for g in range(bk // G):
         part = jnp.dot(
-            x_ref[:, g * G : (g + 1) * G],
+            x[:, g * G : (g + 1) * G],
             w[g * G : (g + 1) * G],
             preferred_element_type=jnp.float32,
         )
         acc_ref[...] += part * s_ref[0, g][None, :].astype(jnp.float32)
+
+
+def _seg_dot(x_ref, p_ref, s_ref, acc_ref, bits, G):
+    _seg_dot_arr(x_ref[...], p_ref, s_ref, acc_ref, bits, G)
 
 
 # ---------------------------------------------------------------- kernel A
@@ -370,5 +376,202 @@ def fused_proj_down(
     )(
         jnp.asarray(layer, jnp.int32).reshape(1),
         x1p, x2p, p1, p2, s1_op, s2_op, bias, rp,
+    )
+    return out[:M]
+
+
+# ---------------------------------------------------------------- kernel C
+
+
+def _kernel_upd(
+    l_ref, xu_ref, xp_ref, pu_ref, pp_ref, pd_ref, su_ref, sp_ref, sd_ref,
+    bu_ref, bd_ref, r_ref, o_ref, accu_ref, h_ref, acc_ref,
+    *, n_up, n_proj, n_down, bkd, bits, G, act, out_dtype,
+):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        accu_ref[...] = jnp.zeros_like(accu_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(k < n_up)
+    def _up():
+        _seg_dot(xu_ref, pu_ref, su_ref, accu_ref, bits, G)
+
+    @pl.when(k == n_up)
+    def _stage_h():
+        # finalize the FFN hidden: bias + activation on the f32 accumulator,
+        # staged into [n_down, bm, bkd] tiles so the down phase reads cheap
+        # leading-dim slices (a dynamic LANE slice of [bm, F] would relayout)
+        hv = _epilogue(accu_ref[...], bu_ref, act)
+        for i in range(n_down):
+            h_ref[i] = hv[:, i * bkd : (i + 1) * bkd].astype(h_ref.dtype)
+
+    @pl.when(jnp.logical_and(k >= n_up, k < n_up + n_proj))
+    def _proj():
+        _seg_dot(xp_ref, pp_ref, sp_ref, acc_ref, bits, G)
+
+    @pl.when(k >= n_up + n_proj)
+    def _down():
+        kd = k - (n_up + n_proj)
+        _seg_dot_arr(h_ref[kd], pd_ref, sd_ref, acc_ref, bits, G)
+
+    @pl.when(k == n_up + n_proj + n_down - 1)
+    def _done():
+        y = acc_ref[...] + bd_ref[0].astype(jnp.float32)
+        y = y + r_ref[...].astype(jnp.float32)
+        o_ref[...] = y.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "bits", "G", "act", "out_dtype", "bm", "bku", "bkp", "bkd",
+        "vmem_mb", "interpret",
+    ),
+)
+def fused_up_proj_down(
+    x_up: jax.Array,  # [M, H] (ln2 output — feeds the FFN up GEMM)
+    x_proj: jax.Array,  # [M, H] (attention output — feeds proj)
+    residual: jax.Array,  # [M, N] — the block input x
+    p_up: jax.Array,  # [L, H(/2), F] int8 payload
+    p_proj: jax.Array,  # [L, H(/2), N]
+    p_down: jax.Array,  # [L, F(/2), N]
+    s_up: jax.Array,  # [L, F] or [L, H/G, F]
+    s_proj: jax.Array,  # [L, N] or [L, H/G, N]
+    s_down: jax.Array,  # [L, N] or [L, F/G, N]
+    b_up: jax.Array,  # [L, 1, F] stacked up bias
+    b_down: jax.Array,  # [L, 1, N] stacked pre-summed parallel bias
+    layer: jax.Array,
+    bits: int,
+    G: int = 0,
+    act: str | None = "gelu-tanh",  # must be Mosaic-fusable (caller gates)
+    out_dtype=None,
+    bm: int = 0,
+    bku: int = 0,  # up-phase K tile (weight block [bku/pack, F])
+    bkp: int = 0,  # proj-phase K tile
+    bkd: int = 0,  # down-phase K tile
+    vmem_mb: int = 64,
+    interpret: bool = False,  # CPU emulation for tests
+):
+    """The decode block's ENTIRE non-attention GEMM work as one pallas_call:
+
+        out = x + attn @ W_proj + act(ln2(x) @ W_up + b_up) @ W_down + b_down
+
+    Three phased weight streams (up -> proj -> down) ride a single Pallas
+    pipeline: one pallas_call = one pipeline ramp (the first chunk's DMA is
+    the only unoverlapped one) for ~118MB of int4 weights, where the split
+    up-kernel + proj+down-kernel pair pays two ramps plus an extra dispatch
+    and a full [M, F] hidden round-trip through HBM. The FFN hidden never
+    leaves VMEM: it is staged as [n_down, bm, bkd] bf16 tiles at the up->proj
+    boundary. Inactive phases' operand indices freeze (clamped maps), so each
+    weight byte streams exactly once per call.
+
+    Reference analog: GptNeoXDecoder.cc:333-360 (FFN + invokeAddBias-
+    AttentionFfnResidual + the proj GEMM of DecoderSelfAttentionLayer.cc:
+    635-652), restructured so the whole post-attention block is one kernel.
+    """
+    M, H = x_up.shape
+    L, _, F = p_up.shape
+    N = p_proj.shape[2]
+    pack = 2 if bits == 4 else 1
+    assert x_proj.shape == (M, H) and residual.shape == (M, N)
+    assert p_up.shape == (L, H // pack, F)
+    assert p_proj.shape == (L, H // pack, N)
+    assert p_down.shape == (L, F // pack, N)
+    assert b_up.shape == (L, 1, F) and b_down.shape == (L, 1, N)
+    out_dtype = out_dtype or x_up.dtype
+    if bm == 0:
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    # ~5MB weight blocks: big enough to stream at the sustained HBM rate,
+    # small enough that 3 double-buffered streams + staging fit the VMEM
+    # budget (vmem_mb)
+    want = 5 * 1024 * 1024 * pack
+    if bku == 0:
+        bku = _largest_divisor_tile(H, max(min(want // F, H), 128))
+    if bkp == 0:
+        bkp = _largest_divisor_tile(H, max(min(want // N, H), 128))
+    if bkd == 0:
+        bkd = _largest_divisor_tile(F, max(min(want // N, F), 128))
+    if G:
+        # group-scale blocks [1, bk/G, bn]: middle dim must be a multiple of
+        # 8 (or the whole axis) — see fused_qkv_up
+        bku = _largest_divisor_tile(H, max(bku, 8 * G), floor=8 * G)
+        bkp = _largest_divisor_tile(H, max(bkp, 8 * G), floor=8 * G)
+        bkd = _largest_divisor_tile(F, max(bkd, 8 * G), floor=8 * G)
+        for bk, K in ((bku, H), (bkp, H), (bkd, F)):
+            assert bk % (8 * G) == 0 or bk == K, (bk, G, K)
+    n_up, n_proj, n_down = H // bku, H // bkp, F // bkd
+    n_k = n_up + n_proj + n_down
+    xup, xpp = _pad_to(x_up, bm, 0), _pad_to(x_proj, bm, 0)
+    rp = _pad_to(residual, bm, 0)
+    Mp = xup.shape[0]
+
+    def ku(k):
+        return jnp.minimum(k, n_up - 1)
+
+    def kp(k):
+        return jnp.clip(k - n_up, 0, n_proj - 1)
+
+    def kd(k):
+        return jnp.clip(k - n_up - n_proj, 0, n_down - 1)
+
+    if G:
+        su_spec = pl.BlockSpec((1, bku // G, F), lambda i, k, l: (l[0], ku(k), 0))
+        sp_spec = pl.BlockSpec((1, bkp // G, N), lambda i, k, l: (l[0], kp(k), 0))
+        sd_spec = pl.BlockSpec((1, bkd // G, N), lambda i, k, l: (l[0], kd(k), 0))
+        su_op, sp_op, sd_op = s_up, s_proj, s_down
+    else:
+        su_spec = pl.BlockSpec((1, 1, F), lambda i, k, l: (l[0], 0, 0))
+        sp_spec = pl.BlockSpec((1, 1, N), lambda i, k, l: (l[0], 0, 0))
+        sd_spec = pl.BlockSpec((1, 1, N), lambda i, k, l: (l[0], 0, 0))
+        su_op = s_up.reshape(L, 1, F)
+        sp_op = s_proj.reshape(L, 1, N)
+        sd_op = s_down.reshape(L, 1, N)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // bm, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bku), lambda i, k, l: (i, ku(k))),
+            pl.BlockSpec((bm, bkp), lambda i, k, l: (i, kp(k))),
+            pl.BlockSpec((1, bku // pack, F), lambda i, k, l: (l[0], ku(k), 0)),
+            pl.BlockSpec((1, bkp // pack, N), lambda i, k, l: (l[0], kp(k), 0)),
+            pl.BlockSpec((1, bkd // pack, N), lambda i, k, l: (l[0], kd(k), 0)),
+            su_spec,
+            sp_spec,
+            sd_spec,
+            pl.BlockSpec((1, 1, F), lambda i, k, l: (l[0], 0, 0)),
+            pl.BlockSpec((1, 1, N), lambda i, k, l: (l[0], 0, 0)),
+            pl.BlockSpec((bm, N), lambda i, k, l: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, N), lambda i, k, l: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bm, F), jnp.float32),  # up accumulator
+            pltpu.VMEM((n_down, bm, bkd), x_up.dtype),  # staged FFN hidden
+            pltpu.VMEM((bm, N), jnp.float32),  # proj+down accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_upd, n_up=n_up, n_proj=n_proj, n_down=n_down, bkd=bkd,
+            bits=bits, G=G, act=act, out_dtype=out_dtype,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * (F * H + N * H + N * F),
+            bytes_accessed=(H * F + H * N + F * N) // pack + 3 * Mp * H * 2,
+            transcendentals=Mp * F,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        xup, xpp, p_up, p_proj, p_down, su_op, sp_op, sd_op, b_up, b_down, rp,
     )
     return out[:M]

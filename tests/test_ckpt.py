@@ -1,5 +1,7 @@
 """Checkpoint converter / loader / quantizer round trips
 (the analog of the reference's weight_only_quant_ops tests, SURVEY §4)."""
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -205,13 +207,22 @@ def test_config_ini_roundtrip_gptj_fields(tmp_path):
 
 def test_config_ini_default_fields_stay_compact(tmp_path):
     """Reference-default configs must not grow extra keys (byte-compat with
-    huggingface_convert.py's config.ini schema)."""
-    cfg = GptNeoXConfig.codefuse_13b()
+    huggingface_convert.py's config.ini schema). Converter-produced configs
+    carry HF's exact-erf "gelu" (the schema default); the codefuse_13b
+    PRESET intentionally differs (reference-serving tanh-gelu) and persists
+    its activation key."""
+    cfg = dataclasses.replace(GptNeoXConfig.codefuse_13b(), activation="gelu")
     cfg.to_ini(str(tmp_path))
     text = (tmp_path / "config.ini").read_text()
     for absent in ("rotary_style", "activation", "layernorm_eps", "rotary_base"):
         assert absent not in text
     assert GptNeoXConfig.from_ini(str(tmp_path)) == cfg
+
+    preset = GptNeoXConfig.codefuse_13b()
+    preset.to_ini(str(tmp_path))
+    text = (tmp_path / "config.ini").read_text()
+    assert "gelu-tanh" in text
+    assert GptNeoXConfig.from_ini(str(tmp_path)) == preset
 
 
 def test_int4_lm_head_matches_dequant():

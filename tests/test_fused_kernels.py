@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from fastertransformer4codefuse_tpu.ops.quant_matmul_fused import (
     fused_proj_down,
     fused_qkv_up,
+    fused_up_proj_down,
 )
 
 
@@ -61,6 +62,54 @@ def test_fused_qkv_up_int8(G):
         / (jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-6)
     )
     assert err < 5e-3, err
+
+
+@pytest.mark.parametrize("G", [0, 128])
+def test_fused_up_proj_down_int8(G):
+    """Kernel C: up -> staged hidden -> proj -> down -> bias+residual, all in
+    one call, equals the explicit three-GEMM parallel-residual composition."""
+    rng = np.random.default_rng(2)
+    M, H, F, L = 3, 512, 1024, 2
+    x_up = jnp.asarray(rng.standard_normal((M, H)), jnp.bfloat16)
+    x_proj = jnp.asarray(rng.standard_normal((M, H)), jnp.bfloat16)
+    res = jnp.asarray(rng.standard_normal((M, H)), jnp.bfloat16)
+    p_up = jnp.asarray(rng.integers(-128, 128, (L, H, F)), jnp.int8)
+    p_proj = jnp.asarray(rng.integers(-128, 128, (L, H, H)), jnp.int8)
+    p_down = jnp.asarray(rng.integers(-128, 128, (L, F, H)), jnp.int8)
+    s_up = _mk(rng, (L, F) if not G else (L, H // G, F))
+    s_proj = _mk(rng, (L, H) if not G else (L, H // G, H))
+    s_down = _mk(rng, (L, H) if not G else (L, F // G, H))
+    b_up = jnp.asarray(rng.standard_normal((L, 1, F)), jnp.float32)
+    b_down = jnp.asarray(rng.standard_normal((L, 1, H)), jnp.float32)
+    y = fused_up_proj_down(
+        x_up, x_proj, res, p_up, p_proj, p_down, s_up, s_proj, s_down,
+        b_up, b_down, jnp.int32(1), bits=8, G=G, act="gelu-tanh",
+        bku=256, bkp=256, bkd=256, interpret=True,
+    )
+
+    def gemm(x, w, s, K):
+        if G:
+            return sum(
+                (x[:, g * G : (g + 1) * G] @ w[g * G : (g + 1) * G]) * s[g]
+                for g in range(K // G)
+            )
+        return (x @ w) * s
+
+    import jax
+
+    xu, xp = x_up.astype(jnp.float32), x_proj.astype(jnp.float32)
+    h = jax.nn.gelu(
+        gemm(xu, p_up[1].astype(jnp.float32), s_up[1], H) + b_up[1, 0],
+        approximate=True,
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    r = gemm(xp, p_proj[1].astype(jnp.float32), s_proj[1], H)
+    r = r + gemm(h, p_down[1].astype(jnp.float32), s_down[1], F)
+    ref = (r + b_down[1, 0] + res.astype(jnp.float32)).astype(jnp.bfloat16)
+    err = float(
+        jnp.max(jnp.abs(y.astype(jnp.float32) - ref.astype(jnp.float32)))
+        / (jnp.max(jnp.abs(ref.astype(jnp.float32))) + 1e-6)
+    )
+    assert err < 2e-2, err
 
 
 @pytest.mark.parametrize("G", [0, 128])

@@ -66,7 +66,7 @@ def make_kernel(n_streams, n_k, out_dtype, bits, conv="bf16"):
     return kernel
 
 
-def run_case(n_streams, K, N, L, bits, bk, bn, M=1, conv="bf16"):
+def run_case(n_streams, K, N, L, bits, bk, bn, M=1, conv="bf16", vmem_mb=100):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -107,6 +107,7 @@ def run_case(n_streams, K, N, L, bits, bk, bn, M=1, conv="bf16"):
         out_shape=jax.ShapeDtypeStruct((bm, N), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_mb * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bm * N * K,
@@ -130,7 +131,7 @@ def run_case(n_streams, K, N, L, bits, bk, bn, M=1, conv="bf16"):
     try:
         float(many(*args))
     except Exception as e:
-        print(f"  streams={n_streams} conv={conv} bk={bk} bn={bn}: FAIL {str(e)[:110]}")
+        print(f"  streams={n_streams} conv={conv} bk={bk} bn={bn}: FAIL {str(e)[:160]}")
         return
     tdir = "/tmp/dual_probe"
     shutil.rmtree(tdir, ignore_errors=True)
@@ -148,12 +149,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--L", type=int, default=8)
+    ap.add_argument("--K", type=int, default=F)
+    ap.add_argument("--N", type=int, default=H)
+    ap.add_argument(
+        "--cases", default="4096:5120,5120:5120,10240:5120",
+        help="comma list of bk:bn tile pairs",
+    )
     args = ap.parse_args()
-    K, N = F, H  # the "down" GEMM: 20480 -> 5120 (52.4MB int4)
-    print(f"down-shape {K}x{N} bits={args.bits}  SoL(819)= "
+    K, N = args.K, args.N
+    print(f"shape {K}x{N} bits={args.bits}  SoL(819)= "
           f"{K*N//(2 if args.bits==4 else 1)/HBM_GBPS/1e3:.1f}us")
-    for conv in ("bf16", "int8", "raw"):
-        run_case(1, K, N, args.L, args.bits, 2048, 5120, conv=conv)
+    for case in args.cases.split(","):
+        bk, bn = map(int, case.split(":"))
+        run_case(1, K, N, args.L, args.bits, bk, bn)
 
 
 def run_noprefetch(K, N, L, bits):

@@ -113,20 +113,28 @@ def main():
         assert rel < 0.02, f"{name} kernel diverges from XLA fallback"
 
     # --- fused decode block (merged pair kernels) vs unmerged decode --------
-    for name, bits, gs in (("int8", 8, 0), ("int4", 4, 0), ("int4-g128", 4, 128)):
-        qp = quantize_params(params_fp, weight_bits=bits, group_size=gs)
-        toks = {}
-        for fused in (True, False):
-            eng = GptNeoXEngine(
-                cfg, qp,
-                RuntimeConfig(
-                    dtype="bf16", int8_mode=1, seq_bucket=8, fused_decode=fused
-                ),
-            )
-            out = eng.generate([prompt], output_len=8, top_k=1)
-            toks[fused] = out.output_ids[0, 0, len(prompt) : len(prompt) + 8].tolist()
-        print(f"{name:10s} fused-decode tokens: {toks[True]} vs {toks[False]}")
-        assert toks[True] == toks[False], f"{name}: fused decode diverges"
+    # activation="gelu-tanh" (the CodeFuse serving preset) additionally
+    # engages the up+proj+down mega kernel (fused_up_proj_down): the whole
+    # post-attention block as one pallas_call. Exact-erf "gelu" keeps the
+    # split path (no erf in Mosaic), so both wirings get covered.
+    import dataclasses as _dc
+
+    for act in ("gelu", "gelu-tanh"):
+        acfg = _dc.replace(cfg, activation=act)
+        for name, bits, gs in (("int8", 8, 0), ("int4", 4, 0), ("int4-g128", 4, 128)):
+            qp = quantize_params(params_fp, weight_bits=bits, group_size=gs)
+            toks = {}
+            for fused in (True, False):
+                eng = GptNeoXEngine(
+                    acfg, qp,
+                    RuntimeConfig(
+                        dtype="bf16", int8_mode=1, seq_bucket=8, fused_decode=fused
+                    ),
+                )
+                out = eng.generate([prompt], output_len=8, top_k=1)
+                toks[fused] = out.output_ids[0, 0, len(prompt) : len(prompt) + 8].tolist()
+            print(f"{act}/{name:10s} fused-decode tokens: {toks[True]} vs {toks[False]}")
+            assert toks[True] == toks[False], f"{act}/{name}: fused decode diverges"
     print("fused decode == unmerged decode:", True)
 
     # --- streaming == batch; beam; batcher ----------------------------------
