@@ -76,7 +76,7 @@ def quantize_array(
     )
 
 
-_QUANT_KEYS = ("qkv_w", "proj_w", "up_w", "down_w")
+_QUANT_KEYS = ("qkv_w", "proj_w", "up_w", "down_w", "gate_w")
 
 
 def quantize_params(
@@ -97,8 +97,8 @@ def quantize_params(
     """
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
-        w = layers[k]
-        if isinstance(w, QuantizedTensor):
+        w = layers.get(k)
+        if w is None or isinstance(w, QuantizedTensor):
             continue
         layers[k] = quantize_array(
             w, k_axis=-2, bits=weight_bits, group_size=group_size

@@ -40,10 +40,21 @@ class GptNeoXConfig:
     rotary_style: str = "neox"  # "neox" half-split | "gptj" interleaved pairs
     model_name: str = "gptneox"
     weight_data_type: str = "fp32"
+    # --- LLaMA-family knobs (defaults = GPT-NeoX behavior) ---
+    norm: str = "layernorm"  # | "rmsnorm" (no mean subtraction, no bias)
+    gated_ffn: bool = False  # SwiGLU: h = act(x@gate) * (x@up), extra gate_w
+    kv_head_num: Optional[int] = None  # GQA: KV heads < query heads (None = MHA)
+    use_bias: bool = True  # False: bias-less qkv/proj/up/down (LLaMA)
+    qkv_layout: str = "interleaved"  # fused-QKV column order: "interleaved"
+    # (head, qkv, dh — HF GPT-NeoX native) | "concat" ([q all | k all | v all],
+    # the only layout possible under GQA where q and kv head counts differ)
 
     def __post_init__(self):
         if self.inter_size is None:
             object.__setattr__(self, "inter_size", 4 * self.hidden_size)
+        if self.kv_head_num is not None and self.kv_head_num != self.head_num:
+            assert self.qkv_layout == "concat", "GQA requires qkv_layout='concat'"
+            assert self.head_num % self.kv_head_num == 0
 
     @property
     def hidden_size(self) -> int:
@@ -52,6 +63,15 @@ class GptNeoXConfig:
     @property
     def num_heads(self) -> int:
         return self.head_num
+
+    @property
+    def kv_heads(self) -> int:
+        return self.kv_head_num if self.kv_head_num is not None else self.head_num
+
+    @property
+    def qkv_cols(self) -> int:
+        """Total fused-QKV output width: (nH + 2*nKV) * dh."""
+        return (self.head_num + 2 * self.kv_heads) * self.size_per_head
 
     @property
     def head_dim(self) -> int:
@@ -84,6 +104,11 @@ class GptNeoXConfig:
             rotary_base=float(sec.get("rotary_base", "10000.0")),
             rotary_style=sec.get("rotary_style", "neox"),
             activation=sec.get("activation", "gelu"),
+            norm=sec.get("norm", "layernorm"),
+            gated_ffn=sec.get("gated_ffn", "0") == "1",
+            kv_head_num=int(sec["kv_head_num"]) if "kv_head_num" in sec else None,
+            use_bias=sec.get("use_bias", "1") == "1",
+            qkv_layout=sec.get("qkv_layout", "interleaved"),
         )
 
     def to_ini(self, path: str, section: str = "gptneox") -> None:
@@ -113,11 +138,21 @@ class GptNeoXConfig:
             "activation": "gelu",
             "layernorm_eps": 1e-5,
             "rotary_base": 10000.0,
+            "norm": "layernorm",
+            "gated_ffn": False,
+            "kv_head_num": None,
+            "use_bias": True,
+            "qkv_layout": "interleaved",
         }
         for key, default in defaults.items():
             value = getattr(self, key)
             if value != default:
-                cfg[section][key] = repr(value) if isinstance(value, float) else value
+                if isinstance(value, bool):
+                    cfg[section][key] = "1" if value else "0"
+                elif isinstance(value, float):
+                    cfg[section][key] = repr(value)
+                else:
+                    cfg[section][key] = str(value)
         with open(path, "w") as f:
             cfg.write(f)
 

@@ -30,7 +30,7 @@ def init_cache(
     shape = (
         config.layer_num,
         batch,
-        config.head_num,
+        config.kv_heads,  # < head_num under GQA (LLaMA family)
         max_seq_len,
         config.size_per_head,
     )
@@ -240,7 +240,24 @@ def attend_chunk(
 
     q [B, C, nH, dh]; valid [B, C, S] bool (causal-by-position per query).
     Returns [B, C, nH, dh]. The multi-query generalization of attend_decode,
-    used for chunked prefill in the continuous batcher."""
+    used for chunked prefill in the continuous batcher. Under GQA (cache has
+    nKV < nH heads) the g query heads sharing a KV head fold into the query
+    axis — the KV bytes are read once per group, never repeated."""
+    B, C, nH, dh = q.shape
+    nKV = cache["k"].shape[2]
+    if nH != nKV:
+        g = nH // nKV
+        qc = (
+            q.reshape(B, C, nKV, g, dh)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, C * g, nKV, dh)
+        )
+        out = attend_chunk(cache, layer, qc, jnp.repeat(valid, g, axis=1), sm_scale)
+        return (
+            out.reshape(B, C, g, nKV, dh)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, C, nH, dh)
+        )
     cache_l = {
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
         for k, v in cache.items()
@@ -364,9 +381,16 @@ def attend_decode(
     """
     S = cache["k"].shape[3]
     dh = cache["k"].shape[4]
+    nKV = cache["k"].shape[2]
     if beam is not None:
         bw, indir = beam
+        assert q.shape[1] == nKV, "beam search requires MHA (nKV == nH)"
         return attend_decode_beam(cache, layer, q, valid, sm_scale, indir, bw)
+    if q.shape[1] != nKV:
+        # GQA: fold the query group into attend_chunk's query axis
+        B, nH = q.shape[0], q.shape[1]
+        out = attend_chunk(cache, layer, q[:, None], valid[:, None, :], sm_scale)
+        return out[:, 0]
     if (
         _FLASH_DECODE
         and positions is not None

@@ -31,7 +31,7 @@ from ..ops.attention import (
     make_prefill_mask,
     prefill_attention,
 )
-from ..ops.layernorm import layernorm
+from ..ops.layernorm import layernorm, rmsnorm
 from ..ops.linear import linear
 from ..ops.rotary import apply_rotary, make_rotary_tables
 from ..engine import kv_cache as kvc
@@ -52,6 +52,18 @@ def _activation(config: GptNeoXConfig, x: jax.Array) -> jax.Array:
     from ..ops.quant_matmul_w4 import apply_act
 
     return apply_act(x, config.activation)
+
+
+def _norm(config: GptNeoXConfig, x: jax.Array, w: jax.Array, b) -> jax.Array:
+    """Pre-norm dispatch: LayerNorm (GPT-NeoX/J) or RMSNorm (LLaMA family)."""
+    if config.norm == "rmsnorm":
+        return rmsnorm(x, w, config.layernorm_eps)
+    return layernorm(x, w, b, config.layernorm_eps)
+
+
+def _addb(x: jax.Array, b) -> jax.Array:
+    """Residual bias add; bias-less families (use_bias=False) pass None."""
+    return x if b is None else x + b.astype(x.dtype)
 
 
 def _layer_slice(layers: Dict[str, Any], l, extra=None) -> Dict[str, Any]:
@@ -145,17 +157,25 @@ def _fused_upd_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
 def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
     """ln1 -> fused QKV -> split heads -> rotary. x: [B, S, H].
 
-    qkv_w's flat output axis is ordered (head, qkv, dh) — HF's native layout —
-    so the per-head q/k/v split is a reshape, never a transpose. The decode
+    "interleaved" layout (GPT-NeoX/J): qkv_w's flat output axis is ordered
+    (head, qkv, dh) — HF's native layout — so the per-head q/k/v split is a
+    reshape, never a transpose. "concat" layout ([q all | k all | v all]) is
+    the GQA form where q and kv head counts differ (LLaMA family). The decode
     scan passes the STACKED [L, 1, N] bias view (``qkv_b__3d``) so the Pallas
     kernel indexes it in-kernel instead of paying a per-layer slice op."""
     B, S, _ = x.shape
     nH, dh = config.head_num, config.size_per_head
     qkv = linear(
-        x, lp["qkv_w"], lp.get("qkv_b__3d", lp["qkv_b"]), layer=layer
-    )  # [B, S, 3*nH*dh]
-    qkv = qkv.reshape(B, S, nH, 3, dh)
-    q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # [B, S, nH, dh]
+        x, lp["qkv_w"], lp.get("qkv_b__3d", lp.get("qkv_b")), layer=layer
+    )  # [B, S, (nH + 2*nKV) * dh]
+    if config.qkv_layout == "concat":
+        nKV = config.kv_heads
+        q = qkv[..., : nH * dh].reshape(B, S, nH, dh)
+        k = qkv[..., nH * dh : (nH + nKV) * dh].reshape(B, S, nKV, dh)
+        v = qkv[..., (nH + nKV) * dh :].reshape(B, S, nKV, dh)
+    else:
+        qkv = qkv.reshape(B, S, nH, 3, dh)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]
     rot = config.rotary_embedding_dim
     q = apply_rotary(q, cos, sin, rot, config.rotary_style)
     k = apply_rotary(k, cos, sin, rot, config.rotary_style)
@@ -166,10 +186,17 @@ def _ffn(config: GptNeoXConfig, lp, x, layer=None):
     # bias + activation fuse into the up-GEMM (Pallas epilogue on TPU, XLA
     # fusion elsewhere) = the reference's invokeAddBiasGeluV2 epilogue;
     # stacked [L, 1, N] bias view when the decode scan provides it
-    h = linear(
-        x, lp["up_w"], lp.get("up_b__3d", lp["up_b"]), layer=layer,
-        act=config.activation,
-    )
+    if config.gated_ffn:
+        # SwiGLU (LLaMA family): h = act(x @ gate) * (x @ up)
+        g = linear(
+            x, lp["gate_w"], lp.get("gate_b"), layer=layer, act=config.activation
+        )
+        h = g * linear(x, lp["up_w"], lp.get("up_b"), layer=layer)
+    else:
+        h = linear(
+            x, lp["up_w"], lp.get("up_b__3d", lp.get("up_b")), layer=layer,
+            act=config.activation,
+        )
     # down bias applied by caller (residual fusion)
     return linear(h, lp["down_w"], layer=layer)
 
@@ -188,7 +215,7 @@ def block_prefill(
     B, S, H = x.shape
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
 
-    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
+    ln1 = _norm(config, x, lp["ln1_w"], lp.get("ln1_b"))
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)
 
     cache = kvc.write_prefill(cache, layer, k, v)
@@ -197,15 +224,15 @@ def block_prefill(
     attn_out = linear(attn.reshape(B, S, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
-        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
         ffn_out = _ffn(config, lp, ln2, layer)
         # single fused residual: x + attn + ffn + summed bias
         # (= invokeAddBiasAttentionFfnResidual, add_residual_kernels.cu)
-        out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
+        out = _addb(x + attn_out + ffn_out, lp.get("down_b"))
     else:
-        h = x + attn_out + lp["proj_b"].astype(x.dtype)
-        ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
-        out = h + _ffn(config, lp, ln2, layer) + lp["down_b"].astype(x.dtype)
+        h = _addb(x + attn_out, lp.get("proj_b"))
+        ln2 = _norm(config, h, lp["ln2_w"], lp.get("ln2_b"))
+        out = _addb(h + _ffn(config, lp, ln2, layer), lp.get("down_b"))
     return out, cache
 
 
@@ -227,7 +254,7 @@ def block_decode(
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
     rot = config.rotary_embedding_dim
 
-    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
+    ln1 = _norm(config, x, lp["ln1_w"], lp.get("ln1_b"))
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, 1, nH, dh]
 
     cache = kvc.write_decode(cache, layer, k, v, positions, skip=kv_skip)
@@ -242,7 +269,7 @@ def block_decode(
         # pipeline ramp; its output IS the layer output (quant_matmul_fused)
         from ..ops.quant_matmul_fused import fused_up_proj_down
 
-        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
         up_w, proj_w, down_w = lp["up_w"], lp["proj_w"], lp["down_w"]
         out = fused_up_proj_down(
             ln2[:, 0], attn.reshape(B, H), x[:, 0],
@@ -258,7 +285,7 @@ def block_decode(
         # its output IS the layer output (ops/quant_matmul_fused)
         from ..ops.quant_matmul_fused import fused_proj_down
 
-        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
         h = linear(
             ln2, lp["up_w"], lp.get("up_b__3d", lp["up_b"]), layer=layer,
             act=config.activation,
@@ -274,13 +301,13 @@ def block_decode(
     attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
-        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
         ffn_out = _ffn(config, lp, ln2, layer)
-        out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
+        out = _addb(x + attn_out + ffn_out, lp.get("down_b"))
     else:
-        h = x + attn_out + lp["proj_b"].astype(x.dtype)
-        ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
-        out = h + _ffn(config, lp, ln2, layer) + lp["down_b"].astype(x.dtype)
+        h = _addb(x + attn_out, lp.get("proj_b"))
+        ln2 = _norm(config, h, lp["ln2_w"], lp.get("ln2_b"))
+        out = _addb(h + _ffn(config, lp, ln2, layer), lp.get("down_b"))
     return out, cache
 
 
@@ -304,7 +331,7 @@ def block_prefill_chunk(
     B, C, H = x.shape
     sm_scale = 1.0 / (config.size_per_head ** 0.5)
 
-    ln1 = layernorm(x, lp["ln1_w"], lp["ln1_b"], config.layernorm_eps)
+    ln1 = _norm(config, x, lp["ln1_w"], lp.get("ln1_b"))
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, C, nH, dh]
 
     cache = kvc.write_chunk(cache, layer, k, v, pos, active)
@@ -312,13 +339,13 @@ def block_prefill_chunk(
     attn_out = linear(attn.reshape(B, C, H), lp["proj_w"], layer=layer)
 
     if config.use_gptj_residual:
-        ln2 = layernorm(x, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
+        ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
         ffn_out = _ffn(config, lp, ln2, layer)
-        out = x + attn_out + ffn_out + lp["down_b"].astype(x.dtype)
+        out = _addb(x + attn_out + ffn_out, lp.get("down_b"))
     else:
-        h = x + attn_out + lp["proj_b"].astype(x.dtype)
-        ln2 = layernorm(h, lp["ln2_w"], lp["ln2_b"], config.layernorm_eps)
-        out = h + _ffn(config, lp, ln2, layer) + lp["down_b"].astype(x.dtype)
+        h = _addb(x + attn_out, lp.get("proj_b"))
+        ln2 = _norm(config, h, lp["ln2_w"], lp.get("ln2_b"))
+        out = _addb(h + _ffn(config, lp, ln2, layer), lp.get("down_b"))
     return out, cache
 
 
@@ -472,9 +499,7 @@ def decode_step(
 
 
 def final_norm(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.Array:
-    return layernorm(
-        hidden, params["final_ln_w"], params["final_ln_b"], config.layernorm_eps
-    )
+    return _norm(config, hidden, params["final_ln_w"], params.get("final_ln_b"))
 
 
 def lm_logits(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.Array:

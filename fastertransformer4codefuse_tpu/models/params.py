@@ -217,19 +217,23 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_
 
     layers = {
         "ln1_w": jnp.ones((L, H), dtype),
-        "ln1_b": jnp.zeros((L, H), dtype),
-        "qkv_w": maybe_quant(next(keys), (L, H, 3 * nH * dh), k_axis=-2),
-        "qkv_b": jnp.zeros((L, 3 * nH * dh), dtype),
+        "qkv_w": maybe_quant(next(keys), (L, H, config.qkv_cols), k_axis=-2),
         "proj_w": maybe_quant(next(keys), (L, nH * dh, H), k_axis=-2),
         "ln2_w": jnp.ones((L, H), dtype),
-        "ln2_b": jnp.zeros((L, H), dtype),
         "up_w": maybe_quant(next(keys), (L, H, I), k_axis=-2),
-        "up_b": jnp.zeros((L, I), dtype),
         "down_w": maybe_quant(next(keys), (L, I, H), k_axis=-2),
-        "down_b": jnp.zeros((L, H), dtype),
     }
-    if not config.use_gptj_residual:
-        layers["proj_b"] = jnp.zeros((L, H), dtype)
+    if config.gated_ffn:
+        layers["gate_w"] = maybe_quant(next(keys), (L, H, I), k_axis=-2)
+    if config.norm != "rmsnorm":
+        layers["ln1_b"] = jnp.zeros((L, H), dtype)
+        layers["ln2_b"] = jnp.zeros((L, H), dtype)
+    if config.use_bias:
+        layers["qkv_b"] = jnp.zeros((L, config.qkv_cols), dtype)
+        layers["up_b"] = jnp.zeros((L, I), dtype)
+        layers["down_b"] = jnp.zeros((L, H), dtype)
+        if not config.use_gptj_residual:
+            layers["proj_b"] = jnp.zeros((L, H), dtype)
 
     def maybe_quant_rowwise(key, shape):
         # int8_mode=2: embeddings/lm-head int8 too (per-row scales) — the
@@ -254,15 +258,17 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_
             return QuantizedTensor(q=q, scale=scale, k_axis=-2, bits=4)
         return maybe_quant_rowwise(key, (V, H))
 
-    return {
+    out = {
         "embed": maybe_quant_rowwise(next(keys), (V, H)),
         "layers": layers,
         "final_ln_w": jnp.ones((H,), dtype),
-        "final_ln_b": jnp.zeros((H,), dtype),
         # [V, H]: H-minor feeds the logits GEMM without a transpose copy
         # (int4: transposed packed layout, see lm_head_weight)
         "lm_head": lm_head_weight(next(keys)),
     }
+    if config.norm != "rmsnorm":
+        out["final_ln_b"] = jnp.zeros((H,), dtype)
+    return out
 
 
 def cast_params(params: Params, dtype) -> Params:

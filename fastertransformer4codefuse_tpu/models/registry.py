@@ -48,7 +48,7 @@ def families() -> Dict[str, ModelFamily]:
 
 def _register_builtin() -> None:
     from ..core.config import GptNeoXConfig
-    from ..ckpt import convert, convert_gptj
+    from ..ckpt import convert, convert_gptj, convert_llama
     from . import gptneox
 
     register(
@@ -57,6 +57,19 @@ def _register_builtin() -> None:
             config_from_ini=GptNeoXConfig.from_ini,
             config_from_hf=convert.config_from_hf,
             params_from_hf=lambda cfg, sd, dtype="fp32": convert.params_from_hf_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+    register(
+        ModelFamily(
+            name="llama",
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert_llama.config_from_hf_llama,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert_llama.params_from_hf_llama_state_dict(
                 cfg, sd, dtype
             ),
             prefill=gptneox.prefill,

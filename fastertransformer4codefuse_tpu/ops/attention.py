@@ -71,18 +71,37 @@ def prefill_attention_flash(
 
 def prefill_attention(
     q: jax.Array,  # [B, S, nH, dh]
-    k: jax.Array,  # [B, S, nH, dh]
-    v: jax.Array,  # [B, S, nH, dh]
+    k: jax.Array,  # [B, S, nKV, dh] (nKV < nH under GQA)
+    v: jax.Array,  # [B, S, nKV, dh]
     mask: jax.Array,  # [B, S, S] bool, True = may attend (causal & padding)
     sm_scale: float,
     input_lengths=None,  # enables the flash path when set and shapes allow
 ) -> jax.Array:
+    B, S, nH, dh = q.shape
+    nKV = k.shape[2]
     if (
         _FLASH_PREFILL
         and input_lengths is not None
-        and _flash_ok(q.shape[1], q.shape[3])
+        and nKV == nH
+        and _flash_ok(S, dh)
     ):
         return prefill_attention_flash(q, k, v, input_lengths, sm_scale)
+    if nKV != nH:
+        # GQA: group the g query heads sharing each KV head — the KV tensors
+        # are contracted per group WITHOUT materializing a repeated copy
+        g = nH // nKV
+        qg = q.reshape(B, S, nKV, g, dh)
+        scores = jnp.einsum(
+            "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+        )
+        scores = scores * sm_scale
+        scores = jnp.where(mask[:, None, None, :, :], scores, MASK_VALUE)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum(
+            "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+        return out.reshape(B, S, nH, dh).astype(q.dtype)
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )

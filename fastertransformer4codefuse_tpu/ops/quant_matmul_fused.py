@@ -484,16 +484,16 @@ def fused_up_proj_down(
     out_dtype = out_dtype or x_up.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    # ~5MB weight blocks: big enough to stream at the sustained HBM rate,
-    # small enough that 3 double-buffered streams + staging fit the VMEM
-    # budget (vmem_mb)
-    want = 5 * 1024 * 1024 * pack
+    # Default tiles are the measured compile-safe sweet spot on v5e (Mosaic
+    # compile time explodes >100x for a [1024, 5120] down block in this
+    # kernel, while [512, 5120] compiles in seconds — probed 2026-08-18):
+    # up [256p, F] ~5MB, proj [640p, N] ~3.3MB, down [512p, N] ~2.6MB.
     if bku == 0:
-        bku = _largest_divisor_tile(H, max(min(want // F, H), 128))
+        bku = _largest_divisor_tile(H, min(256 * pack, H))
     if bkp == 0:
-        bkp = _largest_divisor_tile(H, max(min(want // N, H), 128))
+        bkp = _largest_divisor_tile(H, min(640 * pack, H))
     if bkd == 0:
-        bkd = _largest_divisor_tile(F, max(min(want // N, F), 128))
+        bkd = _largest_divisor_tile(F, min(512 * pack, F))
     if G:
         # group-scale blocks [1, bk/G, bn]: middle dim must be a multiple of
         # 8 (or the whole axis) — see fused_qkv_up

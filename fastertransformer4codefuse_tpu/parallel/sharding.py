@@ -46,6 +46,7 @@ LAYER_SPECS = {
     "up_b": P("pp", "tp"),
     "down_w": P("pp", "tp", None),  # [L, I, H]
     "down_b": P("pp"),
+    "gate_w": P("pp", None, "tp"),  # [L, H, I] SwiGLU gate — column split like up
 }
 
 TOP_SPECS = {
@@ -103,10 +104,21 @@ def param_shardings(config: GptNeoXConfig, params: Params, mesh: Mesh):
             return P(None, "tp")
         return TOP_SPECS[name]
 
+    def layer_spec(name):
+        # "concat" fused-QKV ([q | k | v] with differing head counts) cannot
+        # be expressed as one dim sharding — a flat tp-split would cut the
+        # q/k/v segments unevenly. Replicate it (GQA models are the smaller
+        # families); a per-segment split needs separate q/k/v weights.
+        if name == "qkv_w" and config.qkv_layout == "concat":
+            return P("pp", None, None)
+        if name == "qkv_b" and config.qkv_layout == "concat":
+            return P("pp", None)
+        return LAYER_SPECS[name]
+
     out = {}
     for k, v in params.items():
         if k == "layers":
-            out[k] = {n: leaf(LAYER_SPECS[n], val) for n, val in v.items()}
+            out[k] = {n: leaf(layer_spec(n), val) for n, val in v.items()}
         else:
             out[k] = leaf(top_spec(k, v), v)
     return out

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from fastertransformer4codefuse_tpu.utils.compile_cache import enable as _cc
+_cc()  # persistent XLA cache: recompiles of unchanged programs become instant
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

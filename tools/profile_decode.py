@@ -14,6 +14,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
+from fastertransformer4codefuse_tpu.utils.compile_cache import enable as _cc
+_cc()  # persistent XLA cache: recompiles of unchanged programs become instant
+
 
 def main():
     ap = argparse.ArgumentParser()

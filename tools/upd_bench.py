@@ -19,6 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastertransformer4codefuse_tpu.utils.compile_cache import enable as _cc
+_cc()  # persistent XLA cache: recompiles of unchanged programs become instant
+
 L = 40
 H, F = 5120, 20480
 HBM_GBPS = 819.0
@@ -39,17 +42,7 @@ def timed(fn, iters, *args):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=200)
-    ap.add_argument("--bits", type=int, default=4)
-    ap.add_argument("--G", type=int, default=0)
-    ap.add_argument("--bku", type=int, default=0)
-    ap.add_argument("--bkp", type=int, default=0)
-    ap.add_argument("--bkd", type=int, default=0)
-    ap.add_argument("--vmem", type=int, default=64)
-    args = ap.parse_args()
-
+def run_config(bits, G, args):
     from fastertransformer4codefuse_tpu.ops.quant_matmul_fused import (
         fused_proj_down,
         fused_up_proj_down,
@@ -61,8 +54,6 @@ def main():
         quant_matmul_w4_group_stacked,
         quant_matmul_w4_pallas_stacked,
     )
-
-    bits, G = args.bits, args.G
     pack = 2 if bits == 4 else 1
     rng = np.random.default_rng(0)
 
@@ -126,6 +117,20 @@ def main():
     )
     gbps2 = total_mb * 1e6 / t2 / 1e9
     print(f"  split up | proj+down: {t2*1e6:8.1f}us  {gbps2:6.0f} GB/s  ({sol/(t2*1e6)*100:.0f}% SoL)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--configs", default="4:0", help="comma list of bits:G")
+    ap.add_argument("--bku", type=int, default=0)
+    ap.add_argument("--bkp", type=int, default=0)
+    ap.add_argument("--bkd", type=int, default=0)
+    ap.add_argument("--vmem", type=int, default=64)
+    args = ap.parse_args()
+    for case in args.configs.split(","):
+        bits, G = map(int, case.split(":"))
+        run_config(bits, G, args)
 
 
 if __name__ == "__main__":
