@@ -83,7 +83,12 @@ def _layer_slice(layers: Dict[str, Any], l, extra=None) -> Dict[str, Any]:
 
 
 # Engine-set (RuntimeConfig.fused_decode): allow the merged-kernel decode block.
-_FUSED_DECODE = True
+# FTCF_FUSED_DECODE=0 disables all merged kernels; FTCF_FUSED_UPD=0 disables
+# only the 3-phase up+proj+down mega-kernel (the proj+down pair stays fused).
+import os as _os
+
+_FUSED_DECODE = _os.environ.get("FTCF_FUSED_DECODE", "1") != "0"
+_FUSED_UPD = _os.environ.get("FTCF_FUSED_UPD", "1") != "0"
 
 
 def set_fused_decode(flag: bool) -> None:
@@ -133,7 +138,7 @@ def _fused_upd_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
     kernel; those configs keep the split path)."""
     from ..ops.quant_matmul_w4 import PALLAS_FUSABLE_ACTS
 
-    if not _fused_pd_ok(config, lp):
+    if not (_FUSED_UPD and _fused_pd_ok(config, lp)):
         return False
     if config.activation not in PALLAS_FUSABLE_ACTS:
         return False

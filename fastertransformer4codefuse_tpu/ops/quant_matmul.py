@@ -167,11 +167,20 @@ def quant_matmul_pallas_stacked(
     # VMEM budget: double-buffered int8 weight + bf16 x tiles, f32 acc, bf16
     # out. bk=2048 wins at decode widths (bm=16) but overflows the 16MB scoped
     # limit at prefill widths (bm=256: 2*2048*2560 + ... ~ 16.4MB) — shrink bk
-    # then bn until the working set fits.
-    while 2 * bk * bn + 4 * bm * bk + 6 * bm * bn > 14 * 1024 * 1024:
+    # then bn until the working set fits. A fused activation epilogue adds
+    # several full [bm, bn] f32 temporaries on the Mosaic stack (measured: the
+    # gelu-tanh epilogue at [256, 2560] pushed the scoped allocation from
+    # ~12M to 23.2M, past the 21M limit) — budget ~3 extra f32 blocks for it.
+    def _working_set():
+        est = 2 * bk * bn + 4 * bm * bk + 6 * bm * bn
+        if act is not None:
+            est += 12 * bm * bn
+        return est
+
+    while _working_set() > 14 * 1024 * 1024:
         if bk > 1024:
             bk = _largest_divisor_tile(K, bk // 2)
-        elif bn > 1280:
+        elif bn > 640:
             bn = _largest_divisor_tile(N, bn // 2)
         else:
             break
