@@ -108,21 +108,25 @@ def main():
     # Each config runs in its own subprocess: a 13B engine is ~14GB of HBM and
     # the TPU runtime does not reliably return it to the allocator across
     # engine rebuilds in one process, so config 2+ would RESOURCE_EXHAUSTED.
+    import os
     import subprocess
 
+    env = dict(os.environ, JAX_TRACEBACK_FILTERING="off")  # record real errors
     ok = 0
     for name, *_ in ATTEMPTS:
         r = subprocess.run(
             [sys.executable, __file__, "--config", name],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=1800, env=env,
         )
         out = r.stdout.strip()
         if r.returncode == 0 and out:
             print(out.splitlines()[-1], flush=True)
             ok += 1
         else:
-            tail = (r.stderr or "").strip().splitlines()[-3:]
-            print(f"# bench config {name} failed: {' | '.join(tail)}", file=sys.stderr)
+            tail = (r.stderr or "").strip().splitlines()[-15:]
+            print(f"# bench config {name} failed:", file=sys.stderr)
+            for ln in tail:
+                print(f"#   {ln}", file=sys.stderr)
     if not ok:
         print(json.dumps({"metric": "bench_failed", "value": 0, "unit": "tok/s", "vs_baseline": 0}))
 

@@ -21,6 +21,18 @@ def main(argv=None):
     parser.add_argument("--int8_mode", type=int, default=0)
     parser.add_argument("--tensor_parallel", type=int, default=1)
     parser.add_argument("--dtype", type=str, default="bf16")
+    parser.add_argument(
+        "--weight_bits", type=int, default=8, choices=(4, 8),
+        help="4 serves a .q4.bin int4 checkpoint (needs --int8_mode >= 1)",
+    )
+    parser.add_argument(
+        "--group_size", type=int, default=0,
+        help="group-wise W4 scale granularity (0 = per-channel)",
+    )
+    parser.add_argument(
+        "--kv_cache_dtype", type=str, default=None,
+        help="e.g. int8 for the quantized KV cache",
+    )
     parser.add_argument("--input_file", type=str, required=True)
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
@@ -38,6 +50,9 @@ def main(argv=None):
         int8_mode=args.int8_mode,
         tensor_parallel=args.tensor_parallel,
         dtype=args.dtype,
+        weight_bits=args.weight_bits,
+        group_size=args.group_size,
+        kv_cache_dtype=args.kv_cache_dtype,
     )
 
     with open(args.input_file) as f:

@@ -29,15 +29,26 @@ def init_engine_and_tokenizer(
     trie_needed: bool = False,
     end_id: Optional[int] = None,
     runtime: Optional[RuntimeConfig] = None,
+    weight_bits: int = 8,
+    group_size: int = 0,
+    kv_cache_dtype: Optional[str] = None,
+    q_layout: str = "plain",
 ):
     """Load config.ini + weights + tokenizer; build the engine (and optionally
     the vocab trie). The analog of init_model_and_tokenizer
-    (codefuse_example.py:619-663)."""
+    (codefuse_example.py:619-663), extended with the quantization knobs the
+    engine supports beyond the reference: ``weight_bits=4`` serves a
+    ``.q4.bin``/``.s4[gN].bin`` int4 checkpoint (or quantizes an fp checkpoint
+    on load), ``group_size`` selects group-wise W4 scales, and
+    ``kv_cache_dtype="int8"`` enables the int8 KV cache."""
     from transformers import AutoTokenizer
 
     from ..ckpt.loader import load_bin_checkpoint
 
-    config, params = load_bin_checkpoint(ckpt_path, dtype=dtype, int8_mode=int8_mode)
+    config, params = load_bin_checkpoint(
+        ckpt_path, dtype=dtype, int8_mode=int8_mode,
+        weight_bits=weight_bits, group_size=group_size, q_layout=q_layout,
+    )
     if end_id is not None:
         config = GptNeoXConfig(**{**config.__dict__, "end_id": end_id})
 
@@ -49,7 +60,8 @@ def init_engine_and_tokenizer(
 
         mesh = build_mesh(tp=tensor_parallel)
     runtime = runtime or RuntimeConfig(
-        dtype=dtype, int8_mode=int8_mode, tensor_para_size=tensor_parallel
+        dtype=dtype, int8_mode=int8_mode, tensor_para_size=tensor_parallel,
+        kv_cache_dtype=kv_cache_dtype,
     )
     engine = GptNeoXEngine(config, params, runtime, mesh=mesh)
     if trie_needed:

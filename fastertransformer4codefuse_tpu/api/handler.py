@@ -69,6 +69,9 @@ class CodeFuseHandler:
         tokenizer=None,
         trie=None,
         warmup: bool = True,
+        weight_bits: int = 8,
+        group_size: int = 0,
+        kv_cache_dtype: Optional[str] = None,
     ):
         """Pass ckpt/tokenizer paths (production) or prebuilt engine/tokenizer/
         trie (tests). ``on_stream_text(batch_idx, beam_idx, text)`` taps
@@ -82,6 +85,9 @@ class CodeFuseHandler:
                 dtype=dtype,
                 trie_needed=True,
                 end_id=end_id,
+                weight_bits=weight_bits,
+                group_size=group_size,
+                kv_cache_dtype=kv_cache_dtype,
             )
         self.engine = engine
         self.tokenizer = tokenizer

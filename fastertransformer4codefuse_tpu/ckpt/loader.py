@@ -156,7 +156,18 @@ def load_bin_checkpoint(
             lambda i: read(f"model.layers.{i}.attention.dense.bias.bin", (H,)) * tp
         )
 
-    if int8_mode == 1 and weight_bits == 4:
+    # Quantize-on-load fallback: when the dir has no pre-quantized payloads
+    # (.q4.bin / .q.bin), load the fp kernels and quantize in memory — the
+    # analog of the reference's non-pre-quantized int8 path (GptNeoXOp.h
+    # quantizes at load when use_int8_weights without .q files). Also the
+    # TP>1 int4 path (rank-merge happens in fp, then one whole-tensor quant).
+    quantize_on_load = False
+    if int8_mode >= 1:
+        suffix = "*.q4.bin" if weight_bits == 4 else "*.q.bin"
+        if not glob.glob(os.path.join(ckpt_path, suffix)):
+            quantize_on_load = True
+
+    if int8_mode >= 1 and weight_bits == 4 and not quantize_on_load:
         # int4 disk format (.q4.bin nibble-packed + .s4[gN].bin scales):
         # TP=1 only for direct load; re-quantize-merge for TP>1 would go
         # through the fp files instead
@@ -206,7 +217,7 @@ def load_bin_checkpoint(
         layers["down_w"] = load_q4(
             "model.layers.{}.mlp.dense_4h_to_h.weight", I, (I, H), s_shape(I, H)
         )
-    elif int8_mode == 1:
+    elif int8_mode >= 1 and not quantize_on_load:
         from ..models.params import QuantizedTensor
         from .quantize import quantize_array
 
@@ -324,4 +335,16 @@ def load_bin_checkpoint(
         "lm_head": jnp.asarray(read("model.lm_head.weight.bin", (V, H)), dtype),
     }
     pool.shutdown()
+    if int8_mode >= 1 and (quantize_on_load or int8_mode >= 2):
+        # quantize_on_load: fp kernels -> QuantizedTensors in memory (already-
+        # quantized layer weights are skipped). int8_mode=2 (engine extension
+        # beyond the reference, documented in STATUS.md): embeddings + LM head
+        # int8 too (int4 transposed head when weight_bits=4) — the
+        # single-16GB-chip configuration for 13B.
+        from .quantize import quantize_params
+
+        params = quantize_params(
+            params, include_embeddings=int8_mode >= 2, weight_bits=weight_bits,
+            group_size=group_size,
+        )
     return config, params

@@ -87,13 +87,18 @@ def _layer_slice(layers: Dict[str, Any], l, extra=None) -> Dict[str, Any]:
 # only the 3-phase up+proj+down mega-kernel (the proj+down pair stays fused).
 import os as _os
 
-_FUSED_DECODE = _os.environ.get("FTCF_FUSED_DECODE", "1") != "0"
+# Env flags are KILL-SWITCHES: they always win over RuntimeConfig.fused_decode
+# (Engine.__init__ calls set_fused_decode on every construction, so a plain
+# global would be silently overwritten and FTCF_FUSED_DECODE=0 A/B runs would
+# compare the fused path against itself).
+_ENV_FUSED_DECODE = _os.environ.get("FTCF_FUSED_DECODE", "1") != "0"
+_FUSED_DECODE = _ENV_FUSED_DECODE
 _FUSED_UPD = _os.environ.get("FTCF_FUSED_UPD", "1") != "0"
 
 
 def set_fused_decode(flag: bool) -> None:
     global _FUSED_DECODE
-    _FUSED_DECODE = bool(flag)
+    _FUSED_DECODE = bool(flag) and _ENV_FUSED_DECODE
 
 
 def _fused_pd_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:

@@ -159,3 +159,64 @@ def test_handler_error_path():
     assert code == 1
     assert result_map["res"] == ""
     assert "KeyError" in err or "out_seq_length" in err
+
+
+def test_handler_serves_int4_checkpoint(tmp_path, monkeypatch):
+    """Serving-path W4 plumbing (reference analog: enable_int8_weights wiring,
+    codefuse_example.py:407-418): the handler must load a .q4.bin checkpoint
+    dir with weight_bits/group_size/kv_cache_dtype knobs end-to-end — the
+    repo's own headline configuration (int8_mode=2 + W4 + int8 KV)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from fastertransformer4codefuse_tpu.ckpt.convert import convert_hf_to_bin
+    from fastertransformer4codefuse_tpu.ckpt.loader import load_bin_checkpoint
+    from fastertransformer4codefuse_tpu.ckpt.quantize import quant_and_save
+    from fastertransformer4codefuse_tpu.models.params import QuantizedTensor
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.GPTNeoXConfig(
+        vocab_size=64, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=256, rotary_pct=0.25,
+        max_position_embeddings=128, use_parallel_residual=True,
+        bos_token_id=0, eos_token_id=1, hidden_act="gelu",
+    )
+    hf = transformers.GPTNeoXForCausalLM(hf_cfg).eval()
+    ckpt = str(tmp_path / "1-gpu")
+    convert_hf_to_bin(hf, ckpt, infer_tp=1, weight_data_type="fp32")
+    quant_and_save(ckpt, weight_bits=4, group_size=16)
+
+    tok = CharTokenizer()
+    monkeypatch.setattr(
+        transformers.AutoTokenizer, "from_pretrained",
+        staticmethod(lambda path, **kw: tok),
+    )
+    handler = CodeFuseHandler(
+        ckpt_path=ckpt, tokenizer_path="unused", int8_mode=2, dtype="fp32",
+        weight_bits=4, group_size=16, kv_cache_dtype="int8", warmup=False,
+    )
+    # the loaded engine really is the quantized configuration
+    lw = handler.engine.params["layers"]["up_w"]
+    assert isinstance(lw, QuantizedTensor) and lw.bits == 4 and lw.group_size == 16
+    assert isinstance(handler.engine.params["embed"], QuantizedTensor)
+    assert isinstance(handler.engine.params["lm_head"], QuantizedTensor)
+    assert handler.engine.runtime.kv_cache_dtype == "int8"
+
+    code, err, result_map = handler.predict(
+        {"prompts": [{"prompt": "hello", "top_k": 1}], "out_seq_length": 4}, "t3"
+    )
+    assert code == 0, err
+    res = json.loads(result_map["res"])
+    assert len(res["generated_code"]) == 1
+
+    # quantize-on-load fallback: an fp-only dir (no .q4.bin) quantizes in
+    # memory to the identical config
+    ckpt_fp = str(tmp_path / "fp-1-gpu")
+    convert_hf_to_bin(hf, ckpt_fp, infer_tp=1, weight_data_type="fp32")
+    _, params_mem = load_bin_checkpoint(
+        ckpt_fp, dtype="fp32", int8_mode=1, weight_bits=4, group_size=16
+    )
+    mw = params_mem["layers"]["up_w"]
+    assert isinstance(mw, QuantizedTensor) and mw.bits == 4 and mw.group_size == 16
+    import numpy as _np
+
+    _np.testing.assert_array_equal(_np.asarray(mw.q), _np.asarray(lw.q))
