@@ -324,6 +324,11 @@ def attend_decode_beam(
     then the indirection one-hot selects the right row per position. FLOPs grow
     bw-fold but decode attention is HBM-bound — the eliminated full-cache
     gather copy dominates.
+
+    GQA (nKV < nH, LLaMA family): the g query heads sharing a KV head ride an
+    extra einsum axis, so the cache bytes are still read once per beam group —
+    the reference decode kernel's head-grouping + cache_indir combination
+    (decoder_masked_multihead_attention_template.hpp head_num/kv_head_num).
     """
     cache_l = {
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
@@ -332,32 +337,36 @@ def attend_decode_beam(
     BB, S = indir.shape
     B = BB // bw
     nH, dh = q.shape[1], q.shape[2]
-    kg = cache_l["k"].reshape(B, bw, nH, S, dh)
-    vg = cache_l["v"].reshape(B, bw, nH, S, dh)
-    qg = q.reshape(B, bw, nH, dh)
+    nKV = cache_l["k"].shape[1]
+    g = nH // nKV  # query heads per KV head (1 = plain MHA)
+    kg = cache_l["k"].reshape(B, bw, nKV, S, dh)
+    vg = cache_l["v"].reshape(B, bw, nKV, S, dh)
+    # query head h maps to kv head h // g: reshape puts (kv_head, group) in
+    # the same order _qkv's head split produces
+    qg = q.reshape(B, bw, nKV, g, dh)
 
-    # [B, j, c, nH, S]: every target beam j against every physical row c
+    # [B, j, c, nKV, g, S]: every target beam j against every physical row c
     scores_all = jnp.einsum(
-        "bjhd,bchsd->bjchs", qg, kg.astype(qg.dtype),
+        "bjhgd,bchsd->bjchgs", qg, kg.astype(qg.dtype),
         preferred_element_type=jnp.float32,
     )
     if quantized(cache_l):
-        k_s = cache_l["k_s"].reshape(B, 1, bw, nH, S).astype(jnp.float32)
+        k_s = cache_l["k_s"].reshape(B, 1, bw, nKV, 1, S).astype(jnp.float32)
         scores_all = scores_all * k_s
     # one-hot select the physical row per (beam, position)
     sel = jax.nn.one_hot(indir.reshape(B, bw, S), bw, axis=2, dtype=jnp.float32)
-    scores = jnp.einsum("bjchs,bjcs->bjhs", scores_all, sel) * sm_scale
-    validg = valid.reshape(B, bw, 1, S)
+    scores = jnp.einsum("bjchgs,bjcs->bjhgs", scores_all, sel) * sm_scale
+    validg = valid.reshape(B, bw, 1, 1, S)
     scores = jnp.where(validg, scores, MASK_VALUE)
-    probs = jax.nn.softmax(scores, axis=-1)  # [B, j, nH, S]
+    probs = jax.nn.softmax(scores, axis=-1)  # [B, j, nKV, g, S]
 
     # route probs back to physical rows for the PV contraction
-    pc = jnp.einsum("bjhs,bjcs->bjchs", probs, sel)
+    pc = jnp.einsum("bjhgs,bjcs->bjchgs", probs, sel)
     if quantized(cache_l):
-        v_s = cache_l["v_s"].reshape(B, 1, bw, nH, S).astype(jnp.float32)
+        v_s = cache_l["v_s"].reshape(B, 1, bw, nKV, 1, S).astype(jnp.float32)
         pc = pc * v_s
     out = jnp.einsum(
-        "bjchs,bchsd->bjhd", pc.astype(q.dtype), vg.astype(q.dtype),
+        "bjchgs,bchsd->bjhgd", pc.astype(q.dtype), vg.astype(q.dtype),
         preferred_element_type=jnp.float32,
     )
     return out.reshape(BB, nH, dh).astype(q.dtype)
@@ -384,7 +393,6 @@ def attend_decode(
     nKV = cache["k"].shape[2]
     if beam is not None:
         bw, indir = beam
-        assert q.shape[1] == nKV, "beam search requires MHA (nKV == nH)"
         return attend_decode_beam(cache, layer, q, valid, sm_scale, indir, bw)
     if q.shape[1] != nKV:
         # GQA: fold the query group into attend_chunk's query axis
