@@ -57,6 +57,8 @@ class DecodeState(NamedTuple):
     beam_indir: Any = None  # [B, S] int32 — beam-search cache indirection (beam only)
     pos_offset: Any = None  # [B] int32 — cache-slot/rotary offset of buffer
     # index 0 (prompt-learning prefixes occupy cache slots [0, offset))
+    step_log_probs: Any = None  # [B, out_len] f32 — per-step token log-probs
+    # (only when requested; the reference's optional output_log_probs tensor)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +83,7 @@ class _Statics:
     optional_last_count: int
     prompt_width: int = 0  # padded prompt length P (0 = no prompt learning)
     prompt_kind: str = "none"  # "none" | "prefix" | "soft"
+    use_output_log_probs: bool = False  # return per-step token log-probs
 
 
 def _pad_to(x: np.ndarray, width: int, axis: int, value) -> np.ndarray:
@@ -96,6 +99,12 @@ class GenerationOutput(NamedTuple):
     output_ids: np.ndarray  # [B, beam, T] int32, packed (input + generated + end pad)
     sequence_lengths: np.ndarray  # [B, beam] int32 (input + generated incl. end token)
     cum_log_probs: np.ndarray  # [B, beam] f32
+    # per-step log-prob of each generated token (0 past finish), only when
+    # requested via generate(output_log_probs=True) — the reference's optional
+    # output_log_probs tensor (GptNeoX.cc output map; kernels/logprob_kernels.cu).
+    # For beam search the buffer follows each hypothesis' reorder path, so
+    # output_log_probs.sum(-1) == cum_log_probs per returned hypothesis.
+    output_log_probs: Optional[np.ndarray] = None  # [B, beam, out_len] f32
 
 
 _HOST_CB_SUPPORTED: Optional[bool] = None
@@ -301,6 +310,12 @@ class GptNeoXEngine:
         finished = s.finished | newly_finished
         gen_step = s.gen_step + 1
 
+        step_log_probs = s.step_log_probs
+        if st.use_output_log_probs:
+            step_log_probs = jax.lax.dynamic_update_index_in_dim(
+                step_log_probs, lp, s.gen_step, axis=1
+            )
+
         return s._replace(
             tokens=tokens,
             seq_lens=seq_lens,
@@ -308,6 +323,7 @@ class GptNeoXEngine:
             finished=finished,
             cum_log_probs=cum_log_probs,
             newest=tok,
+            step_log_probs=step_log_probs,
         )
 
     def _forward_newest(
@@ -405,6 +421,11 @@ class GptNeoXEngine:
             cache=cache,
             newest=jnp.full((B,), cfg.end_id, jnp.int32),
             pos_offset=pos_offset,
+            step_log_probs=(
+                jnp.zeros((B, st.output_len), jnp.float32)
+                if st.use_output_log_probs
+                else None
+            ),
         )
 
     # ------------------------------------------------------------ jit builders --
@@ -429,7 +450,7 @@ class GptNeoXEngine:
             # final token: sample only (no forward needed; also a no-op when the
             # loop exited early because every row already finished)
             s = self._sample_and_advance(st, params, inputs, s)
-            return s.tokens, s.seq_lens, s.cum_log_probs
+            return s.tokens, s.seq_lens, s.cum_log_probs, s.step_log_probs
 
         fn = jax.jit(run)
         self._generate_cache[st] = fn
@@ -485,7 +506,7 @@ class GptNeoXEngine:
             already_done = jnp.all(s.finished)
             s = self._sample_and_advance(st, params, inputs, s)
             emit(s, jnp.logical_not(already_done), jnp.bool_(True))
-            return s.tokens, s.seq_lens, s.cum_log_probs
+            return s.tokens, s.seq_lens, s.cum_log_probs, s.step_log_probs
 
         fn = jax.jit(run)
         self._generate_cache[key] = fn
@@ -543,7 +564,9 @@ class GptNeoXEngine:
             callback({"last_tokens": cb_tokens, "idxs": cb_idxs})
             if finished.all():
                 break
-        return jax.device_get((s.tokens, s.seq_lens, s.cum_log_probs))
+        return jax.device_get(
+            (s.tokens, s.seq_lens, s.cum_log_probs, s.step_log_probs)
+        )
 
     def _generate_streaming(self, st: _Statics, inputs, callback):
         """Run the fused streaming program, draining step messages to the
@@ -602,6 +625,7 @@ class GptNeoXEngine:
         prompt_learning_task_name_ids: Optional[Sequence[int]] = None,
         request_prompt_embedding: Optional[np.ndarray] = None,
         request_prompt_lengths: Optional[Sequence[int]] = None,
+        output_log_probs: bool = False,
     ) -> Tuple[_Statics, Dict[str, jax.Array]]:
         cfg = self.config
         rt = self.runtime
@@ -690,6 +714,7 @@ class GptNeoXEngine:
             optional_last_count=C,
             prompt_width=prompt_width,
             prompt_kind=prompt_kind,
+            use_output_log_probs=bool(output_log_probs),
         )
         inputs = {
             "tokens": jnp.asarray(tokens),
@@ -754,7 +779,9 @@ class GptNeoXEngine:
 
         if callback is None:
             fn = self._get_generate_fn(st)
-            tokens, seq_lens, cum_lp = jax.device_get(fn(self.params, inputs))
+            tokens, seq_lens, cum_lp, step_lp = jax.device_get(
+                fn(self.params, inputs)
+            )
         else:
             # Fused-loop streaming: the whole generation stays ONE jitted
             # while_loop; each step's newest [B] tokens surface through an
@@ -765,16 +792,17 @@ class GptNeoXEngine:
             # _sample_and_advance and seq_lens stops advancing). Backends
             # without host-callback support take the stepwise loop instead.
             if host_callbacks_supported():
-                tokens, seq_lens, cum_lp = self._generate_streaming(
+                tokens, seq_lens, cum_lp, step_lp = self._generate_streaming(
                     st, inputs, callback
                 )
             else:
-                tokens, seq_lens, cum_lp = self._generate_streaming_stepwise(
-                    st, inputs, callback
+                tokens, seq_lens, cum_lp, step_lp = (
+                    self._generate_streaming_stepwise(st, inputs, callback)
                 )
 
         return GenerationOutput(
             output_ids=tokens[:, None, :],
             sequence_lengths=seq_lens[:, None],
             cum_log_probs=cum_lp[:, None],
+            output_log_probs=None if step_lp is None else step_lp[:, None, :],
         )

@@ -126,10 +126,16 @@ def _fused_pd_ok(config: GptNeoXConfig, lp: Dict[str, Any]) -> bool:
 
     H = config.hidden_size
     G = ws[0].group_size
+    if G:
+        # MEASURED gate (v5e, 13B g128 int4 + int8 KV, 1024in/512out, r3 A/B):
+        # group-wise scales lose in the merged kernels — the per-group K=G dot
+        # loop under-utilizes the MXU and the forced bk >= 8*G tile starves the
+        # DMA pipeline. tok/s: unfused 78.73 > proj+down pair 75.72 >
+        # up+proj+down mega-kernel 66.62. Per-channel (G=0) keeps the fused
+        # paths: mega 86.25 >= pair 86.06 >> unfused (round-1 path).
+        return False
     bk_b = math.gcd(H, config.inter_size)
     if H % 128 or bk_b % 256:
-        return False
-    if G and bk_b % (8 * G):  # group-scale block tiling needs bk >= 8*G
         return False
     return True
 

@@ -89,7 +89,9 @@ def beam_search_generate(
         engine._beam_cache[key] = fn
 
     if callback is None:
-        tokens, seq_lens, cum_lp = jax.device_get(fn(engine.params, inputs))
+        tokens, seq_lens, cum_lp, step_lp = jax.device_get(
+            fn(engine.params, inputs)
+        )
     else:
         # stepwise streaming: the callback receives every beam's newest token
         # per step ({last_tokens: [[tok]*bw]*B, idxs: ...}), like the
@@ -112,12 +114,15 @@ def beam_search_generate(
             )
             if fin.all():
                 break
-        tokens, seq_lens, cum_lp = jax.device_get(finish_fn(inputs, s))
+        tokens, seq_lens, cum_lp, step_lp = jax.device_get(finish_fn(inputs, s))
 
     return GenerationOutput(
         output_ids=tokens.reshape(B, bw, -1),
         sequence_lengths=seq_lens.reshape(B, bw),
         cum_log_probs=cum_lp.reshape(B, bw),
+        output_log_probs=(
+            None if step_lp is None else step_lp.reshape(B, bw, -1)
+        ),
     )
 
 
@@ -218,6 +223,17 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
             )
         finished = finished | newly
 
+        step_log_probs = s.step_log_probs
+        if st.use_output_log_probs:
+            # the buffer follows the hypothesis' reorder path (like tokens), so
+            # each returned beam's per-step values sum to its cum_log_prob
+            inc = jnp.where(
+                s.finished[src], 0.0, new_cum - s.cum_log_probs[src]
+            )
+            step_log_probs = jax.lax.dynamic_update_index_in_dim(
+                jnp.take(step_log_probs, src, axis=0), inc, s.gen_step, axis=1
+            )
+
         return s._replace(
             tokens=tokens,
             seq_lens=seq_lens,
@@ -226,6 +242,7 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
             cum_log_probs=cum_log_probs,
             beam_indir=indir,
             newest=tok,
+            step_log_probs=step_log_probs,
         )
 
     def beam_prefill(params, inputs):
@@ -253,7 +270,11 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
         tokens = jnp.take(s.tokens, src, axis=0)
         seq_lens = jnp.take(s.seq_lens, src, axis=0)
         cum = jnp.take(s.cum_log_probs, src, axis=0)
-        return tokens, seq_lens, cum
+        slp = (
+            None if s.step_log_probs is None
+            else jnp.take(s.step_log_probs, src, axis=0)
+        )
+        return tokens, seq_lens, cum, slp
 
     if stepwise:
         def step(params, inputs, s):
