@@ -264,6 +264,15 @@ class RuntimeConfig:
     tensor_para_size: int = 1
     data_para_size: int = 1
     pipeline_para_size: int = 1
+    # PP microbatch count M (reference: GptNeoX.cc:780-788 getLocalBatchSize):
+    # prefill pipelines M sequence chunks and decode M batch-row groups across
+    # the pp stages, so in steady state all stages compute concurrently.
+    # Requires padded input width % M == 0 (prefill) and batch % M == 0
+    # (decode). M=1 = the serial capacity-only schedule. Decode at small
+    # batch is weight-streaming-bound, where M>1 re-streams weights per
+    # microbatch and LOSES — raise M for compute-bound regimes (prefill,
+    # large batch) only.
+    pp_microbatches: int = 1
     logits_dtype: str = "fp32"
     donate_cache: bool = True
     # Debug/verification mode — the analog of the reference's FT_DEBUG_LEVEL

@@ -353,9 +353,11 @@ class GptNeoXEngine:
         if self._pp > 1:
             from ..parallel import pipeline
 
+            M = self.runtime.pp_microbatches
             hidden, cache = pipeline.decode_step(
                 cfg, self.mesh, params, newest, positions, s.cache,
                 beam=beam, kv_skip=kv_skip,
+                microbatches=M if B % max(M, 1) == 0 else 1,
             )
         else:
             hidden, cache = model.decode_step(
@@ -398,9 +400,11 @@ class GptNeoXEngine:
         elif self._pp > 1:
             from ..parallel import pipeline
 
+            M = self.runtime.pp_microbatches
             hidden, cache = pipeline.prefill(
                 cfg, self.mesh, params, tokens[:, : st.input_width],
                 input_lengths, cache,
+                microbatches=M if st.input_width % max(M, 1) == 0 else 1,
             )
         else:
             hidden, cache = model.prefill(
