@@ -72,6 +72,7 @@ ATTEMPTS = [
         # vs_baseline still divides by their best per-chip INT8 number
         # (quality harness: tools/quality_eval.py)
         ("codefuse13b-int8-64in-32out", 2, 8, 0, None, 64, 32, 86.7),
+        ("codefuse13b-int4w-int8kv-64in-32out", 2, 4, 0, "int8", 64, 32, 86.7),
         ("codefuse13b-int8-1024in-512out", 2, 8, 0, "int8", 1024, 512, 72.6),
         ("codefuse13b-int4w-int8kv-1024in-512out", 2, 4, 0, "int8", 1024, 512, 72.6),
         ("codefuse13b-int4w-g128-int8kv-1024in-512out", 2, 4, 128, "int8", 1024, 512, 72.6),

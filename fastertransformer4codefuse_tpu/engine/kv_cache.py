@@ -119,40 +119,23 @@ def write_prefix(cache: Cache, k_pre: jax.Array, v_pre: jax.Array) -> Cache:
 
 
 def _row_update(slab: jax.Array, layer, new: jax.Array, positions: jax.Array):
-    """slab[layer, b, :, positions[b]] = new[b] for slab [L, B, nH, S, ...]."""
-    if slab.ndim == 4:  # scale slab [L, B, nH, S], new [B, nH]
-        def one(c, n, b, p):
-            return jax.lax.dynamic_update_slice(
-                c, n[None, None, :, None], (layer, b, 0, p)
-            )
-    else:  # value slab [L, B, nH, S, dh], new [B, nH, dh]
-        def one(c, n, b, p):
-            return jax.lax.dynamic_update_slice(
-                c, n[None, :, None, :][None], (layer, b, 0, p, 0)
-            )
+    """slab[layer, b, :, positions[b]] = new[b] for slab [L, B, nH, S, ...].
+
+    ONE batched scatter regardless of B. (The previous form unrolled a Python
+    loop into B sequential dynamic-update-slices per slab per layer — in-place
+    but O(B) ops in the scan body, a program-bloat hazard at the continuous
+    batcher's B=32; the scatter stays in place under the loop-carry aliasing
+    the engine's donated cache provides.)"""
     B = new.shape[0]
-    for b in range(B):  # B is small; unrolled per-row writes alias in place
-        slab = one(slab, new[b], b, positions[b])
-    return slab
+    return slab.at[layer, jnp.arange(B), :, positions].set(
+        new, indices_are_sorted=True, unique_indices=True
+    )
 
 
 def _read_rows(slab: jax.Array, layer, positions: jax.Array) -> jax.Array:
-    """slab[layer, b, :, positions[b]] -> [B, nH] or [B, nH, dh]."""
+    """slab[layer, b, :, positions[b]] -> [B, nH] or [B, nH, dh] (one gather)."""
     B = positions.shape[0]
-    nH = slab.shape[2]
-    outs = []
-    for b in range(B):
-        if slab.ndim == 5:
-            sl = jax.lax.dynamic_slice(
-                slab, (layer, b, 0, positions[b], 0), (1, 1, nH, 1, slab.shape[4])
-            )
-            outs.append(sl[0, 0, :, 0, :])
-        else:
-            sl = jax.lax.dynamic_slice(
-                slab, (layer, b, 0, positions[b]), (1, 1, nH, 1)
-            )
-            outs.append(sl[0, 0, :, 0])
-    return jnp.stack(outs)
+    return slab[layer, jnp.arange(B), :, positions]
 
 
 def write_decode(

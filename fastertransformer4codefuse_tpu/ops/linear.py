@@ -175,12 +175,17 @@ def quantized_matmul_transposed_head(x: jax.Array, w: QuantizedTensor) -> jax.Ar
     assert w.k_axis % w.q.ndim == 0
     if w.bits == 4 and _ON_TPU and w.group_size == 0:
         from .quant_matmul_w4 import quant_matmul_w4_pallas
+        from .tile_tuning import lookup
 
-        # bn=5120: the head's vocab axis is padded to a 2560 multiple at
-        # quantize time, so wide tiles divide; narrow (<=1024) tiles left the
-        # 129MB weight stream at ~24% of HBM SoL
+        # default bn=5120: the head's vocab axis is padded to a 2560 multiple
+        # at quantize time, so wide tiles divide; narrow (<=1024) tiles left
+        # the 129MB weight stream at ~24% of HBM SoL
+        M = x.shape[0]
+        bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+        K, N = 2 * w.q.shape[0], w.q.shape[1]
+        bn, bk = lookup("w4_head", bm, K, N) or (5120, 1024)
         return quant_matmul_w4_pallas(
-            x, w.q, w.scale, out_dtype=jnp.float32, bn=5120
+            x, w.q, w.scale, out_dtype=jnp.float32, bn=bn, bk=bk
         )
     wk = w.unpack().astype(x.dtype)
     acc = jnp.dot(x, wk, preferred_element_type=jnp.float32)

@@ -143,8 +143,8 @@ def quant_matmul_pallas_stacked(
     layer: jax.Array,  # scalar int32, selected via scalar prefetch
     out_dtype=None,
     bm: int = 0,
-    bn: int = 2560,
-    bk: int = 2048,  # sweep: 141.2us vs 146.1 at bk=1024 on the 13B up/down shapes
+    bn: int = 0,  # 0 = autotune cache, else 2560
+    bk: int = 0,  # 0 = autotune cache, else 2048 (sweep: 141.2us vs 146.1 @1024)
     bias=None,  # [N] per-layer, or [L, 1, N] stacked (indexed in-kernel)
     act: str | None = None,  # fused activation in the epilogue
 ):
@@ -162,6 +162,12 @@ def quant_matmul_pallas_stacked(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    if not (bn and bk):
+        from .tile_tuning import lookup
+
+        tuned = lookup("stacked_int8", bm, K, N)
+        bn = bn or (tuned[0] if tuned else 2560)
+        bk = bk or (tuned[1] if tuned else 2048)
     bn = _largest_divisor_tile(N, bn)
     bk = _largest_divisor_tile(K, bk)
     # VMEM budget: double-buffered int8 weight + bf16 x tiles, f32 acc, bf16

