@@ -187,10 +187,27 @@ def quantized_matmul_transposed_head(x: jax.Array, w: QuantizedTensor) -> jax.Ar
         return quant_matmul_w4_pallas(
             x, w.q, w.scale, out_dtype=jnp.float32, bn=bn, bk=bk
         )
-    wk = w.unpack().astype(x.dtype)
-    acc = jnp.dot(x, wk, preferred_element_type=jnp.float32)
+    if w.bits == 4 and _ON_TPU and w.group_size:
+        # group-wise head: ride the stacked group kernel as a 1-layer stack
+        # ([None] is a metadata reshape, not a copy)
+        from .quant_matmul_w4 import quant_matmul_w4_group_stacked
+
+        return quant_matmul_w4_group_stacked(
+            x, w.q[None], w.scale[None], jnp.int32(0), G=w.group_size,
+            out_dtype=jnp.float32,
+        )
+    wk = w.unpack()
     if w.group_size:
-        raise NotImplementedError("group-wise transposed LM head")
+        # XLA fallback: fold the [K/G, N] group scales into the weight before
+        # the dot (they sit inside the contraction, so no epilogue form exists)
+        K, N = wk.shape
+        G = w.group_size
+        wd = (
+            wk.astype(jnp.float32).reshape(K // G, G, N)
+            * w.scale[:, None, :].astype(jnp.float32)
+        ).reshape(K, N).astype(x.dtype)
+        return jnp.dot(x, wd, preferred_element_type=jnp.float32)
+    acc = jnp.dot(x, wk.astype(x.dtype), preferred_element_type=jnp.float32)
     return acc * w.scale[None, :].astype(jnp.float32)
 
 

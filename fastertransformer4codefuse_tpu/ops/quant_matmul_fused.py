@@ -484,10 +484,19 @@ def fused_up_proj_down(
     out_dtype = out_dtype or x_up.dtype
     if bm == 0:
         bm = 256 if M >= 256 else max(16, 1 << (max(M - 1, 1)).bit_length())
-    # Default tiles are the measured compile-safe sweet spot on v5e (Mosaic
-    # compile time explodes >100x for a [1024, 5120] down block in this
-    # kernel, while [512, 5120] compiles in seconds — probed 2026-08-18):
-    # up [256p, F] ~5MB, proj [640p, N] ~3.3MB, down [512p, N] ~2.6MB.
+    # Default tiles come from the autotune cache (tools/tile_autotune.py
+    # --kernels upd, key fused_upd{bits}); the miss fallback is the measured
+    # compile-safe sweet spot on v5e (Mosaic compile time explodes >100x for
+    # a [1024, 5120] down block in this kernel, while [512, 5120] compiles in
+    # seconds — probed 2026-08-18): up [256p, F] ~5MB, proj [640p, N] ~3.3MB,
+    # down [512p, N] ~2.6MB.
+    if not (bku and bkp and bkd):
+        from .tile_tuning import lookup_entry
+
+        e = lookup_entry(f"fused_upd{bits}", bm, H, F, G) or {}
+        bku = bku or int(e.get("bku", 0))
+        bkp = bkp or int(e.get("bkp", 0))
+        bkd = bkd or int(e.get("bkd", 0))
     if bku == 0:
         bku = _largest_divisor_tile(H, min(256 * pack, H))
     if bkp == 0:

@@ -35,18 +35,24 @@ def _kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, n_k, out_dtype):
         o_ref[...] = (acc_ref[...] * s_ref[...].astype(jnp.float32)).astype(out_dtype)
 
 
-def _shrink_bn_for_vmem(bm: int, bn: int, bk: int = 0, act=None) -> int:
+def _shrink_bn_for_vmem(bm: int, bn: int, bk: int = 0, act=None,
+                        grouped: bool = False) -> int:
     """Wide bn (5120) wins at decode widths (bm<=32: up/down 86->81us measured)
     but overflows the 16MB VMEM budget at prefill widths; shrink it so the
     working set stays within budget. Mirrors the int8 kernel's act-aware
     estimate: double-buffered packed-weight + x tiles, f32 accumulator, out,
     and ~3 extra [bm, bn] f32 temporaries when an activation epilogue lowers
     in-kernel (the gelu-tanh epilogue measured +11MB of Mosaic scoped
-    allocation at [256, 2560] on the int8 kernel)."""
+    allocation at [256, 2560] on the int8 kernel). The GROUP-wise kernel's
+    per-group dot loop keeps ~2 more [bm, bn] f32 partials live (observed:
+    16.31M scoped at [256, 5120] bk=1024 g128 — over the 16M stack limit —
+    where the per-channel kernel fit)."""
     def ws(bn_):
         est = bk * bn_ + 4 * bm * bk + 6 * bm * bn_  # int4 weight = bk*bn/2 *2buf
         if act is not None:
             est += 12 * bm * bn_
+        if grouped:
+            est += 8 * bm * bn_
         return est
 
     while ws(bn) > 14 * 1024 * 1024 and bn > 1024:
@@ -335,7 +341,9 @@ def quant_matmul_w4_group_stacked(
         bn = bn or (tuned[0] if tuned else 5120)
         bk = bk or (tuned[1] if tuned else 1024)
     bk = _largest_divisor_tile(K, bk)
-    bn = _largest_divisor_tile(N, _shrink_bn_for_vmem(bm, bn, bk, act))
+    bn = _largest_divisor_tile(
+        N, _shrink_bn_for_vmem(bm, bn, bk, act, grouped=True)
+    )
     assert bk % G == 0, f"k-tile {bk} must hold whole groups of {G}"
     xp = _pad_to(x, bm, 0)
     Mp = xp.shape[0]

@@ -56,28 +56,39 @@ def lookup(
 
     ``bm`` is the kernel's already-selected M tile (16-ish at decode widths,
     256 at prefill) — the M bucket of the reference's algo map."""
-    if os.environ.get("FTCF_TILE_TUNE", "1") == "0":
-        return None
-    e = _load().get(_key(kernel, bm, K, N, G))
+    e = lookup_entry(kernel, bm, K, N, G)
     if not e:
         return None
     return int(e["bn"]), int(e["bk"])
 
 
+def lookup_entry(
+    kernel: str, bm: int, K: int, N: int, G: int = 0
+) -> Optional[dict]:
+    """Raw cache entry (kernels with non-(bn,bk) tile sets, e.g. the
+    up+proj+down mega-kernel's three phase K-tiles)."""
+    if os.environ.get("FTCF_TILE_TUNE", "1") == "0":
+        return None
+    return _load().get(_key(kernel, bm, K, N, G))
+
+
 def record(
     kernel: str, bm: int, K: int, N: int, G: int,
-    bn: int, bk: int, us: float, note: str = "", path: Optional[str] = None,
+    bn: int = 0, bk: int = 0, us: float = 0.0, note: str = "",
+    path: Optional[str] = None, extra: Optional[dict] = None,
 ) -> None:
-    """Persist a measured winner (sweep-tool entry point)."""
+    """Persist a measured winner (sweep-tool entry point). ``extra`` holds
+    kernel-specific tile fields beyond (bn, bk)."""
     path = path or cache_path()
     try:
         with open(path) as f:
             data = json.load(f)
     except (OSError, ValueError):
         data = {}
-    data[_key(kernel, bm, K, N, G)] = {
-        "bn": int(bn), "bk": int(bk), "us": round(float(us), 2), "note": note,
-    }
+    e = {"bn": int(bn), "bk": int(bk), "us": round(float(us), 2), "note": note}
+    if extra:
+        e.update(extra)
+    data[_key(kernel, bm, K, N, G)] = e
     with open(path, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
         f.write("\n")

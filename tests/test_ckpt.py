@@ -256,6 +256,26 @@ def test_int4_lm_head_matches_dequant():
     assert (err.max(axis=0) <= amax / 7.0 * 0.5 + 1e-6).all()
 
 
+def test_groupwise_transposed_head_matches_dequant():
+    """Group-wise-scale transposed head: logits equal the explicit group-
+    dequantized GEMM (rides the stacked group kernel as a 1-layer stack on
+    TPU; scale-folded XLA dot elsewhere)."""
+    from fastertransformer4codefuse_tpu.ckpt.quantize import quantize_array
+    from fastertransformer4codefuse_tpu.ops.linear import (
+        quantized_matmul_transposed_head,
+    )
+
+    G = 16
+    K, V = 64, 128
+    w = jax.random.normal(jax.random.PRNGKey(5), (K, V), jnp.float32) * 0.3
+    qt = quantize_array(w, k_axis=-2, bits=4, group_size=G)
+    assert qt.scale.shape == (K // G, V)
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, K), jnp.float32)
+    got = quantized_matmul_transposed_head(x, qt)
+    want = x @ qt.dequantize(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_engine_runs_with_int4_lm_head():
     cfg = GptNeoXConfig.tiny(vocab_size=70)
     from fastertransformer4codefuse_tpu import init_params

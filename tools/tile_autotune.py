@@ -52,20 +52,34 @@ def _divisors(dim, cands, mult=128):
     return [c for c in cands if c <= dim and dim % c == 0 and c % mult == 0]
 
 
-def timed(make_loop, args, iters):
+def timed(make_loop, args, iters, floor_us=0.0):
     """Differential timing: the axon tunnel's scalar-fetch sync costs ~31ms
     regardless of work, so time N and 3N iterations and divide the DELTA.
-    The two programs share the Mosaic kernel compile (process cache)."""
+    The two programs share the Mosaic kernel compile (process cache).
+
+    A transient stall in the N-run makes the delta garbage (negative values
+    were observed winning sweeps); measure up to 3 times and keep the MEDIAN
+    of plausible samples, rejecting anything under ``floor_us`` (the DMA
+    floor — a kernel cannot beat its own byte stream)."""
     l1, l3 = make_loop(iters), make_loop(3 * iters)
     float(l1(args))  # compile + warm
     float(l3(args))
-    t0 = time.perf_counter()
-    float(l1(args))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(l3(args))
-    t3 = time.perf_counter() - t0
-    return (t3 - t1) / (2 * iters)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(l1(args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(l3(args))
+        t3 = time.perf_counter() - t0
+        t = (t3 - t1) / (2 * iters)
+        if t * 1e6 > floor_us:
+            samples.append(t)
+        if len(samples) >= 2:
+            break
+    if not samples:
+        raise RuntimeError(f"no plausible sample (floor {floor_us:.1f}us)")
+    return sorted(samples)[len(samples) // 2]
 
 
 def build_loop(kernel, K, N, bm, bn, bk, G=128):
@@ -124,14 +138,103 @@ def build_loop(kernel, K, N, bm, bn, bk, G=128):
             x, w, s = args
 
             def body(i, acc):
-                y = call(i % L, x, w, s)
-                return acc + y[0, 0].astype(jnp.float32)
+                # x must depend on i: a loop-invariant call gets hoisted out
+                # of the fori_loop and the delta times nothing (w4_head has
+                # no layer index, so `i % L` alone doesn't create the dep)
+                xi = x.at[0, 0].add((acc * 1e-30).astype(x.dtype))
+                y = call(i % L, xi, w, s)
+                return acc + y[0, 0].astype(jnp.float32) * 1e-6 + 1.0
 
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
         return loop
 
     return make_loop, (x, w, s), bytes_l
+
+
+def sweep_upd(args):
+    """Sweep the up+proj+down mega-kernel's three phase K-tiles
+    (ops/quant_matmul_fused.fused_up_proj_down) for the given bits."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu.ops import tile_tuning
+    from fastertransformer4codefuse_tpu.ops.quant_matmul_fused import (
+        fused_up_proj_down,
+    )
+
+    bits = int(args.upd_bits)
+    pack = 2 if bits == 4 else 1
+    shapes = MODELS[args.model]
+    H, F = shapes["up"]
+    N = shapes["proj"][1]
+    bm = int(args.bms.split(",")[0])
+    rng = np.random.default_rng(0)
+    mk = lambda *s: jnp.asarray(rng.integers(-128, 128, size=s, dtype=np.int8))
+    p_up, p_proj, p_down = (
+        mk(L, H // pack, F), mk(L, H // pack, N), mk(L, F // pack, N),
+    )
+    sc = lambda *s: jnp.asarray(rng.random(s, np.float32) * 0.01)
+    s_up, s_proj, s_down = sc(L, F), sc(L, N), sc(L, N)
+    b_up, b_down = sc(L, 1, F), sc(L, 1, N)
+    xf = lambda: jnp.asarray(rng.random((bm, H), np.float32), jnp.bfloat16)
+    x_up, x_proj, residual = xf(), xf(), xf()
+
+    def make_make_loop(bku, bkp, bkd):
+        def make_loop(iters):
+            @jax.jit
+            def loop(ops):
+                xu, xp, r = ops
+
+                def body(i, acc):
+                    y = fused_up_proj_down(
+                        xu, xp, r, p_up, p_proj, p_down, s_up, s_proj, s_down,
+                        b_up, b_down, i % L, bits, act="gelu-tanh",
+                        bku=bku, bkp=bkp, bkd=bkd,
+                    )
+                    return acc + y[0, 0].astype(jnp.float32)
+
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+            return loop
+
+        return make_loop
+
+    sol_us = (H * F + H * N + F * N) / pack / HBM_GBPS / 1e3
+    cands = [
+        (bku * pack, bkp * pack, bkd * pack)
+        for bku in (256, 512)
+        for bkp in (640, 1280)
+        for bkd in (256, 512)
+    ]
+    print(f"== upd{bits} [H{H} F{F} N{N}] bm={bm} SoL~{sol_us:.0f}us "
+          f"candidates={len(cands)}", flush=True)
+    best = None
+    for bku, bkp, bkd in cands:
+        try:
+            t = timed(
+                make_make_loop(bku, bkp, bkd), (x_up, x_proj, residual),
+                args.iters, floor_us=0.6 * sol_us,
+            ) * 1e6
+        except Exception as e:  # noqa: BLE001
+            print(f"   bku={bku} bkp={bkp} bkd={bkd}  FAIL "
+                  f"{str(e).splitlines()[0][:80]}", flush=True)
+            continue
+        mark = ""
+        if best is None or t < best[0]:
+            best = (t, bku, bkp, bkd)
+            mark = " <-- best"
+        print(f"   bku={bku:5d} bkp={bkp:5d} bkd={bkd:5d}  {t:8.1f}us "
+              f"({sol_us / t * 100:3.0f}% SoL){mark}", flush=True)
+    if best and not args.no_record:
+        t, bku, bkp, bkd = best
+        tile_tuning.record(
+            f"fused_upd{bits}", bm, H, F, 0, us=t,
+            extra={"bku": bku, "bkp": bkp, "bkd": bkd},
+            note=f"{args.model} v5e {time.strftime('%Y-%m-%d')}",
+        )
+        print(f"   recorded fused_upd{bits} bm={bm} -> "
+              f"bku={bku} bkp={bkp} bkd={bkd} ({t:.1f}us)", flush=True)
 
 
 def main():
@@ -146,9 +249,14 @@ def main():
     ap.add_argument("--bks", default="640,1024,1280,2048,2560")
     ap.add_argument("--dry", action="store_true", help="print plan, no runs")
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--upd-bits", default="8", help="bits for --kernels upd")
     args = ap.parse_args()
 
     from fastertransformer4codefuse_tpu.ops import tile_tuning
+
+    if args.kernels == "upd":
+        sweep_upd(args)
+        return
 
     shapes = dict(MODELS[args.model])
     if args.shapes:
@@ -182,7 +290,10 @@ def main():
                         make_loop, operands, _ = build_loop(
                             kernel, K, N, bm, bn, bk, G=args.group
                         )
-                        t = timed(make_loop, operands, args.iters) * 1e6
+                        t = timed(
+                            make_loop, operands, args.iters,
+                            floor_us=0.6 * sol_us,
+                        ) * 1e6
                     except Exception as e:  # noqa: BLE001 — VMEM overflow etc.
                         msg = str(e).split("\n")[0][:90]
                         print(f"   bn={bn:5d} bk={bk:5d}  FAIL {msg}", flush=True)
