@@ -349,9 +349,16 @@ class ContinuousBatcher:
                 if r._chunks_left > 0:
                     r._chunks_left -= 1
 
-        self._state, tok, finished, ready = self._get_step_fn()(
-            self.engine.params, state
-        )
+        # flash decode is trace-time-gated OFF for the pool: its cache crosses
+        # the jit boundary every tick and the flash kernel's preferred layout
+        # would force full-slab relayout copies per layer (see
+        # kv_cache.flash_decode_disabled; measured 255 -> 58 ms/tick at B=8)
+        from . import kv_cache as _kvc
+
+        with _kvc.flash_decode_disabled():
+            self._state, tok, finished, ready = self._get_step_fn()(
+                self.engine.params, state
+            )
         tok_h, fin_h, ready_h = jax.device_get((tok, finished, ready))
 
         emitted = []

@@ -321,6 +321,28 @@ def set_flash_decode(flag: bool) -> None:
     _FLASH_DECODE = bool(flag)
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def flash_decode_disabled():
+    """Trace-time flash-decode override for programs whose cache crosses a
+    jit boundary every step (the continuous batcher). The flash kernel wants
+    the cache in a heads-minor physical layout; inside ONE jitted program
+    XLA's layout assignment propagates it to the whole cache for free, but a
+    per-tick program gets the canonical boundary layout and re-lays-out the
+    FULL K/V slabs every layer (measured: 2 x 103ms/step of s8[40,8,40,512,
+    128] {4,2,3,1,0} copies at pool B=8 — 4x the whole step's useful work).
+    The XLA attend path reads the canonical layout in place."""
+    global _FLASH_DECODE
+    old = _FLASH_DECODE
+    _FLASH_DECODE = False
+    try:
+        yield
+    finally:
+        _FLASH_DECODE = old
+
+
 def attend_decode_beam(
     cache: Cache,
     layer,
