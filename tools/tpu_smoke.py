@@ -64,6 +64,74 @@ def logits_for(cfg, params, ids, on_tpu_kernels: bool):
     return np.asarray(lg, np.float32)
 
 
+def bench_shape_kernel_smoke():
+    """Every bench config's kernel shapes at decode (bm=16) AND prefill
+    (bm=256) widths, with the gelu-tanh epilogue engaged — the exact class
+    that crashed the r2 codefuse13b-int8-1024in-512out config (Mosaic scoped
+    VMEM overflow only manifests at real shapes on real hardware; the CPU
+    suite runs interpret mode and cannot catch it). Numerics are pinned
+    against the dequantized XLA dot on the same operands."""
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu.ops.quant_matmul import (
+        quant_matmul_pallas_stacked,
+    )
+    from fastertransformer4codefuse_tpu.ops.quant_matmul_w4 import (
+        quant_matmul_w4_group_stacked,
+        quant_matmul_w4_pallas_stacked,
+    )
+
+    rng = np.random.default_rng(0)
+    L = 2
+    shapes = {  # CodeFuse-13B decode GEMMs (bench.py configs)
+        "qkv": (5120, 15360),
+        "up": (5120, 20480),
+        "down": (20480, 5120),
+        "proj": (5120, 5120),
+    }
+    G = 128
+    for sname, (K, N) in shapes.items():
+        w8 = rng.integers(-127, 128, size=(L, K, N), dtype=np.int8)
+        s8 = (rng.random((L, N), np.float32) * 0.01 + 0.001).astype(np.float32)
+        pk = jnp.asarray(w8[:, : K // 2])  # reuse bytes as packed int4 payload
+        s4g = (rng.random((L, K // G, N), np.float32) * 0.01 + 0.001)
+        bias = (rng.random((L, 1, N), np.float32) * 0.1).astype(np.float32)
+        w8j, s8j = jnp.asarray(w8), jnp.asarray(s8)
+        s4gj, biasj = jnp.asarray(s4g), jnp.asarray(bias)
+        act = "gelu-tanh"  # the CodeFuse serving preset (bench configs)
+        for bm in (16, 256):
+            x = jnp.asarray(rng.random((bm, K), np.float32), jnp.bfloat16)
+            lay = jnp.int32(1)
+
+            def ref(wd):  # dequantized dot + bias + act on the same operands
+                acc = jnp.dot(
+                    x.astype(jnp.float32), wd, preferred_element_type=jnp.float32
+                )
+                y = acc + biasj[1]
+                return jax.nn.gelu(y, approximate=True)
+
+            got8 = quant_matmul_pallas_stacked(
+                x, w8j, s8j, lay, bias=biasj, act=act
+            )
+            want8 = ref(w8j[1].astype(jnp.float32) * s8j[1][None, :])
+            rel = float(
+                jnp.max(jnp.abs(got8.astype(jnp.float32) - want8))
+                / (jnp.max(jnp.abs(want8)) + 1e-6)
+            )
+            assert rel < 0.02, ("int8", sname, bm, rel)
+
+            got4 = quant_matmul_w4_pallas_stacked(
+                x, pk, s8j, lay, bias=biasj, act=act
+            )
+            got4g = quant_matmul_w4_group_stacked(
+                x, pk, s4gj, lay, G=G, bias=biasj, act=act
+            )
+            assert np.isfinite(np.asarray(got4, np.float32)).all(), (sname, bm)
+            assert np.isfinite(np.asarray(got4g, np.float32)).all(), (sname, bm)
+            print(f"bench-shape {sname:5s} bm={bm:3d}: int8 rel {rel:.4f}; "
+                  f"w4/w4g finite ok", flush=True)
+
+
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU (axon env)"
     rng = np.random.default_rng(0)
@@ -163,6 +231,8 @@ def main():
     done = cb.run(max_ticks=20)
     assert done[uid].output_ids[: len(prompt)] == prompt
     print("batcher ok:", done[uid].output_ids[len(prompt):])
+
+    bench_shape_kernel_smoke()
 
     print("TPU SMOKE: ALL OK")
 
