@@ -491,12 +491,18 @@ def fused_up_proj_down(
     # seconds — probed 2026-08-18): up [256p, F] ~5MB, proj [640p, N] ~3.3MB,
     # down [512p, N] ~2.6MB.
     if not (bku and bkp and bkd):
-        from .tile_tuning import lookup_entry
+        import os as _os
 
-        e = lookup_entry(f"fused_upd{bits}", bm, H, F, G) or {}
-        bku = bku or int(e.get("bku", 0))
-        bkp = bkp or int(e.get("bkp", 0))
-        bkd = bkd or int(e.get("bkd", 0))
+        env = _os.environ.get("FTCF_UPD_TILES")  # "bku,bkp,bkd" A/B knob
+        if env:
+            bku, bkp, bkd = (int(v) for v in env.split(","))
+        else:
+            from .tile_tuning import lookup_entry
+
+            e = lookup_entry(f"fused_upd{bits}", bm, H, F, G) or {}
+            bku = bku or int(e.get("bku", 0))
+            bkp = bkp or int(e.get("bkp", 0))
+            bkd = bkd or int(e.get("bkd", 0))
     if bku == 0:
         bku = _largest_divisor_tile(H, min(256 * pack, H))
     if bkp == 0:
