@@ -191,9 +191,13 @@ def load_bin_checkpoint(
                 qs.append(q.reshape(kdim // 2, -1))
                 ss.append(sc.reshape(final_s_shape))
             packed_shape = (final_shape[0] // 2,) + final_shape[1:]
+            from .quantize import group_scale_dtype
+
             return QuantizedTensor(
                 q=jnp.asarray(np.stack(qs)).reshape((L,) + packed_shape),
-                scale=jnp.asarray(np.stack(ss), jnp.float32),
+                # bf16 group scales (exact f32->bf16 roundtrip: quantize_array
+                # rounded them to bf16 before they were written to disk)
+                scale=jnp.asarray(np.stack(ss), group_scale_dtype(4, group_size)),
                 k_axis=-2,
                 bits=4,
                 group_size=group_size,

@@ -28,6 +28,23 @@ from ..core.config import GptNeoXConfig
 from ..models.params import Params, QuantizedTensor
 
 
+def group_scale_dtype(bits: int, group_size: int):
+    """Runtime dtype for group-wise scales.
+
+    Group scales are [K/G, N] — 1/(G/4) of the weight-payload bytes when
+    stored f32 (6.25% at G=128 int4), streamed by the kernel every decode
+    step. bf16 halves that HBM traffic; the scale's ~0.4% rounding is noise
+    under the 4-bit weight grid (measured in QUALITY.md). Per-channel scales
+    are [N] — negligible — and stay f32. FTCF_GSCALE_BF16=0 restores f32."""
+    if (
+        bits == 4
+        and group_size
+        and os.environ.get("FTCF_GSCALE_BF16", "1") != "0"
+    ):
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def quantize_array(
     w: jax.Array, k_axis: int = -2, bits: int = 8, group_size: int = 0
 ) -> QuantizedTensor:
@@ -38,6 +55,10 @@ def quantize_array(
     per byte (row 2i in the low nibble, row 2i+1 in the high — the TPU int4
     bitcast order, see QuantizedTensor.bits). Zero columns get scale 1 to avoid
     division by zero (the reference clamps the same way).
+
+    Group-wise int4 scales are rounded to ``group_scale_dtype`` FIRST and the
+    payload quantized against the rounded value, so the stored (scale, q) pair
+    is self-consistent and the error bound |deq - w| <= scale/2 still holds.
     """
     assert bits in (8, 4)
     w32 = jnp.asarray(w, jnp.float32)
@@ -54,7 +75,11 @@ def quantize_array(
         wg = w32.reshape(gshape)
         amax = jnp.max(jnp.abs(wg), axis=k_ax + 1)  # [..., K/G, ...]
         scale = jnp.where(amax > 0, amax / qmax, 1.0)
-        q = jnp.round(wg / jnp.expand_dims(scale, k_ax + 1)).reshape(w32.shape)
+        sdt = group_scale_dtype(bits, group_size)
+        scale = scale.astype(sdt)
+        q = jnp.round(
+            wg / jnp.expand_dims(scale.astype(jnp.float32), k_ax + 1)
+        ).reshape(w32.shape)
     else:
         amax = jnp.max(jnp.abs(w32), axis=k_ax)
         scale = jnp.where(amax > 0, amax / qmax, 1.0)

@@ -210,6 +210,10 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_
             scale = (
                 jax.random.uniform(skey, scale_shape, jnp.float32, 0.5, 1.5) * std / qmax
             )
+            if group_size:
+                from ..ckpt.quantize import group_scale_dtype
+
+                scale = scale.astype(group_scale_dtype(weight_bits, group_size))
             return QuantizedTensor(
                 q=q, scale=scale, k_axis=k_axis, bits=weight_bits, group_size=group_size
             )

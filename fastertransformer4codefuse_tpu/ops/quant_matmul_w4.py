@@ -385,7 +385,8 @@ def quant_matmul_w4_group_stacked(
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * N * K,
-            bytes_accessed=Mp * K * 2 + K * N // 2 + K * N // G * 4 + Mp * N * 2,
+            bytes_accessed=Mp * K * 2 + K * N // 2
+            + K * N // G * s_all.dtype.itemsize + Mp * N * 2,
             transcendentals=0,
         ),
     )(jnp.asarray(layer, jnp.int32).reshape(1), *operands)
