@@ -762,13 +762,13 @@ class GptNeoXEngine:
             for i, ids in enumerate(input_ids):
                 padded[i, : len(ids)] = np.asarray(ids, np.int32)
             debug_verify(self, padded, lens)
-        if beam_width != 1 or self._pp > 1:
+        if self._pp > 1:
             if any(
                 sampling_kwargs.get(k) is not None
                 for k in ("prompt_learning_task_name_ids", "request_prompt_embedding")
             ):
                 raise NotImplementedError(
-                    "prompt learning currently supports beam_width=1 and pp=1"
+                    "prompt learning currently supports pp=1"
                 )
         if beam_width != 1:
             from ..sampling.beam import beam_search_generate

@@ -208,10 +208,15 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
         tokens = tokens.at[jnp.arange(BB), write_idx].set(
             jnp.where(finished, tokens[jnp.arange(BB), write_idx], tok)
         )
-        # the next forward writes row b's new KV into row b itself at write_idx
+        # the next forward writes row b's new KV into row b itself at the CACHE
+        # slot = buffer index + the row's prompt-prefix offset (prompt slots
+        # [0, P) are never re-pointed: every beam shares the row's prompt KV)
         own = (jnp.arange(BB, dtype=jnp.int32) % bw)
-        indir = indir.at[jnp.arange(BB), write_idx].set(
-            jnp.where(finished, indir[jnp.arange(BB), write_idx], own)
+        cache_idx = write_idx
+        if st.prompt_width:
+            cache_idx = write_idx + inputs["prompt_lengths"].astype(write_idx.dtype)
+        indir = indir.at[jnp.arange(BB), cache_idx].set(
+            jnp.where(finished, indir[jnp.arange(BB), cache_idx], own)
         )
         seq_lens = seq_lens + jnp.where(finished, 0, 1)
         cum_log_probs = jnp.where(finished, s.cum_log_probs[src], new_cum)
@@ -250,9 +255,11 @@ def _build_beam_fn(engine, st, bw: int, stepwise: bool = False):
         # step 0: only beam 0 of each batch proposes (classic init trick —
         # otherwise all beams pick identical tokens)
         beam_idx = jnp.arange(st.batch) % bw
-        # each row's prompt KV was written by its own row (prompts tiled)
+        # each row's prompt KV was written by its own row (prompts tiled);
+        # the table spans the FULL cache incl. the prompt slots [0, P)
         indir = jnp.broadcast_to(
-            beam_idx.astype(jnp.int32)[:, None], (st.batch, st.total_len)
+            beam_idx.astype(jnp.int32)[:, None],
+            (st.batch, st.total_len + st.prompt_width),
         )
         return s._replace(
             cum_log_probs=jnp.where(beam_idx == 0, 0.0, NEG_INF).astype(jnp.float32),

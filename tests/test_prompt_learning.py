@@ -166,13 +166,42 @@ def test_prompt_with_int8_kv_cache(setup):
     assert got[: len(expected)].tolist() == expected.tolist(), (got, expected)
 
 
-def test_prompt_rejects_beam(setup):
+def test_prefix_prompt_beam_matches_concatenated(setup):
+    """Beam search under a prefix prompt: every beam's output from the
+    remaining tokens must equal beam search over the full concatenated
+    sequence (same defining property as the bw=1 tests — the prompt KV is
+    identical across a row's beams, so the cache indirection must be a no-op
+    over the prefix slots for this to hold)."""
     cfg, params, eng = setup
+    full = [3, 7, 11, 2, 9, 14, 5, 1]
+    prompt, rest = full[:4], full[4:]
     eng.set_prompt_learning_table(
-        {0: (np.zeros((cfg.layer_num, 2, cfg.head_num, 4, cfg.size_per_head)), 4)}
+        {3: (_prefix_kv_from_tokens(cfg, params, prompt), len(prompt))}
     )
-    with pytest.raises(NotImplementedError):
-        eng.generate(
-            [[1, 2]], output_len=2, beam_width=2,
-            prompt_learning_task_name_ids=[0],
-        )
+    bw = 2
+    want = eng.generate([full], output_len=5, beam_width=bw)
+    got = eng.generate(
+        [rest], output_len=5, beam_width=bw,
+        prompt_learning_task_name_ids=[3],
+    )
+    for j in range(bw):
+        exp = np.asarray(want.output_ids)[0, j, len(full):]
+        out = np.asarray(got.output_ids)[0, j, len(rest):]
+        assert out[: len(exp)].tolist() == exp.tolist(), (j, out, exp)
+    np.testing.assert_allclose(
+        np.asarray(got.cum_log_probs), np.asarray(want.cum_log_probs),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_soft_prompt_beam_runs(setup):
+    """Soft prompts tile through the same path; sanity: runs + emits valid ids."""
+    cfg, params, eng = setup
+    emb = np.random.RandomState(0).randn(1, 3, cfg.hidden_size).astype(np.float32)
+    out = eng.generate(
+        [[4, 8]], output_len=3, beam_width=2,
+        request_prompt_embedding=emb,
+        request_prompt_lengths=[3],
+    )
+    assert out.output_ids.shape[:2] == (1, 2)
+    assert (out.output_ids < cfg.vocab_size).all()
