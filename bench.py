@@ -75,6 +75,9 @@ ATTEMPTS = [
         ("codefuse13b-int4w-int8kv-64in-32out", 2, 4, 0, "int8", 64, 32, 86.7),
         ("codefuse13b-int8-1024in-512out", 2, 8, 0, "int8", 1024, 512, 72.6),
         ("codefuse13b-int4w-int8kv-1024in-512out", 2, 4, 0, "int8", 1024, 512, 72.6),
+        # int4 KV (packed position pairs): quarter the bf16 cache's decode-
+        # attention bytes; quality table in QUALITY.md (decode-dNLL column)
+        ("codefuse13b-int4w-g128-int4kv-1024in-512out", 2, 4, 128, "int4", 1024, 512, 72.6),
         ("codefuse13b-int4w-g128-int8kv-1024in-512out", 2, 4, 128, "int8", 1024, 512, 72.6),
 ]
 

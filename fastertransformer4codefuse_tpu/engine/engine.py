@@ -237,6 +237,8 @@ class GptNeoXEngine:
     # ------------------------------------------------------------------ core --
     def _cache_dtype(self):
         name = self.runtime.kv_cache_dtype or self.runtime.dtype
+        if name in ("int4", "int8k_int4v"):  # packed modes (kv_cache.init_cache)
+            return name
         return jnp_dtype(name)
 
     def _sample_and_advance(self, st: _Statics, params: Params, inputs: Dict[str, jax.Array], s: DecodeState) -> DecodeState:
@@ -647,6 +649,12 @@ class GptNeoXEngine:
         input_width = min(-(-max_in // bucket) * bucket, max_in + bucket)
         input_width = max(input_width, max_in)
         total_len = input_width + int(output_len)
+        if rt.kv_cache_dtype in ("int4", "int8k_int4v"):
+            # packed caches pair sequence positions per byte: even widths only
+            assert input_width % 2 == 0, (
+                "int4 KV needs an even prefill width — use an even seq_bucket"
+            )
+            total_len += total_len % 2
 
         tokens = np.full((B, total_len), cfg.end_id, np.int32)
         for i, ids in enumerate(input_ids):

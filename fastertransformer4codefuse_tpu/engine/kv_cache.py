@@ -1,4 +1,4 @@
-"""KV cache: dense preallocated slabs, bf16 or int8-quantized.
+"""KV cache: dense preallocated slabs — bf16, int8, or nibble-packed int4.
 
 The analog of the reference's key_cache_/value_cache_ buffers
 (/root/reference/src/fastertransformer/models/gptneox/GptNeoX.cc:84-156,
@@ -9,7 +9,16 @@ INT8 mode stores one symmetric scale per cached vector (per layer, batch,
 head, position), halving the HBM traffic of decode attention — the analog of
 BitDecoding/KV-quant practice; the reference has no KV quantization at all.
 
-Cache pytree per layer: {"k": [B,nH,S,dh], "v": ...} plus {"k_s": [B,nH,S],
+INT4 mode goes further: adjacent SEQUENCE positions pack two-per-byte (slot
+2i in the low nibble — the TPU ``bitcast(int4)`` row order the weight kernels
+use), quartering the bf16 cache's decode-attention bytes. Packed slabs use
+the keys ``k4``/``v4`` ([L,B,nKV,S/2,dh] int8) so every consumer can tell the
+format from the pytree alone; scales stay per UNPACKED position. Because K's
+quantization error lands inside the softmax logits while V's only blurs the
+convex combination, a hybrid mode keeps K at int8 and packs only V
+(``kv_cache_dtype="int8k_int4v"``) — see QUALITY.md for measured deltas.
+
+Cache pytree per layer: {"k"|"k4": ..., "v"|"v4": ...} plus {"k_s": [B,nH,S],
 "v_s": ...} when quantized. Stacked over layers for lax.scan.
 """
 from __future__ import annotations
@@ -27,6 +36,8 @@ Cache = Dict[str, jax.Array]
 def init_cache(
     config: GptNeoXConfig, batch: int, max_seq_len: int, dtype=jnp.bfloat16
 ) -> Cache:
+    """``dtype``: a jnp dtype, or the strings "int4" (K and V packed) /
+    "int8k_int4v" (K int8, V packed)."""
     shape = (
         config.layer_num,
         batch,
@@ -34,6 +45,20 @@ def init_cache(
         max_seq_len,
         config.size_per_head,
     )
+    kind = dtype if isinstance(dtype, str) else None
+    if kind in ("int4", "int8k_int4v"):
+        assert max_seq_len % 2 == 0, "int4 KV packs sequence-position pairs"
+        pshape = shape[:3] + (max_seq_len // 2, shape[4])
+        c = {
+            "k_s": jnp.zeros(shape[:-1], jnp.bfloat16),
+            "v_s": jnp.zeros(shape[:-1], jnp.bfloat16),
+            "v4": jnp.zeros(pshape, jnp.int8),
+        }
+        if kind == "int4":
+            c["k4"] = jnp.zeros(pshape, jnp.int8)
+        else:
+            c["k"] = jnp.zeros(shape, jnp.int8)
+        return c
     if dtype == jnp.int8:
         c = {
             "k": jnp.zeros(shape, jnp.int8),
@@ -50,14 +75,58 @@ def quantized(cache_l: Cache) -> bool:
     return "k_s" in cache_l
 
 
-def _quantize_vec(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Per-vector symmetric int8 over the last (dh) axis.
+def packed4(cache_l: Cache, which: str) -> bool:
+    """True when slab ``which`` ("k"/"v") is stored nibble-packed."""
+    return f"{which}4" in cache_l
+
+
+def seq_len_of(cache: Cache) -> int:
+    """Unpacked sequence capacity (packed slabs halve their S axis)."""
+    if "k_s" in cache:
+        return cache["k_s"].shape[-1]
+    return cache["k"].shape[-2]
+
+
+def _quantize_vec(x: jax.Array, qmax: float = 127.0) -> Tuple[jax.Array, jax.Array]:
+    """Per-vector symmetric int8/int4 over the last (dh) axis.
     x [..., dh] -> (q [..., dh] int8, scale [...])."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    scale = jnp.where(amax > 0, amax / qmax, 1.0)
     q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
     return q, scale.astype(jnp.bfloat16)
+
+
+def _pack_seq_pairs(q: jax.Array, axis: int = -2) -> jax.Array:
+    """Pack int4-valued int8 rows two-per-byte along ``axis`` (the sequence
+    axis): byte i = (q[2i+1] << 4) | (q[2i] & 0xF) — the weight kernels'
+    bitcast nibble order."""
+    S = q.shape[axis]
+    assert S % 2 == 0
+    lo = jax.lax.slice_in_dim(q, 0, S, stride=2, axis=axis % q.ndim)
+    hi = jax.lax.slice_in_dim(q, 1, S, stride=2, axis=axis % q.ndim)
+    return jnp.left_shift(hi, 4) | (lo & 0xF)
+
+
+def _unpack_seq_pairs(p: jax.Array, axis: int = -2) -> jax.Array:
+    """Inverse of _pack_seq_pairs: [.., S/2, ..] int8 -> [.., S, ..] int8 with
+    sign-extended nibbles (XLA fallback paths; the Pallas kernels bitcast)."""
+    lo = jnp.left_shift(p, 4) >> 4  # arithmetic shift sign-extends
+    hi = p >> 4
+    stacked = jnp.stack([lo, hi], axis=axis % p.ndim + 1)
+    shape = list(p.shape)
+    shape[axis % p.ndim] *= 2
+    return stacked.reshape(shape)
+
+
+def _unpack_layer(cache_l: Cache) -> Cache:
+    """Layer view with packed slabs expanded to int8 (XLA fallback paths)."""
+    out = dict(cache_l)
+    if "k4" in out:
+        out["k"] = _unpack_seq_pairs(out.pop("k4"))
+    if "v4" in out:
+        out["v"] = _unpack_seq_pairs(out.pop("v4"))
+    return out
 
 
 def write_prefill(cache: Cache, layer: jax.Array, k: jax.Array, v: jax.Array) -> Cache:
@@ -73,13 +142,22 @@ def write_prefill(cache: Cache, layer: jax.Array, k: jax.Array, v: jax.Array) ->
     out = dict(cache)
     zero5 = (layer, 0, 0, 0, 0)
     zero4 = (layer, 0, 0, 0)
+
+    def wq(name, t):
+        if packed4(cache, name):
+            assert t.shape[3] % 2 == 0, "int4 KV prefill width must be even"
+            q, s = _quantize_vec(t, 7.0)
+            out[name + "4"] = jax.lax.dynamic_update_slice(
+                cache[name + "4"], _pack_seq_pairs(q), zero5
+            )
+        else:
+            q, s = _quantize_vec(t)
+            out[name] = jax.lax.dynamic_update_slice(cache[name], q, zero5)
+        out[name + "_s"] = jax.lax.dynamic_update_slice(cache[name + "_s"], s, zero4)
+
     if quantized(cache):
-        kq, ks = _quantize_vec(kt)
-        vq, vs = _quantize_vec(vt)
-        out["k"] = jax.lax.dynamic_update_slice(cache["k"], kq, zero5)
-        out["v"] = jax.lax.dynamic_update_slice(cache["v"], vq, zero5)
-        out["k_s"] = jax.lax.dynamic_update_slice(cache["k_s"], ks, zero4)
-        out["v_s"] = jax.lax.dynamic_update_slice(cache["v_s"], vs, zero4)
+        wq("k", kt)
+        wq("v", vt)
     else:
         out["k"] = jax.lax.dynamic_update_slice(cache["k"], kt.astype(cache["k"].dtype), zero5)
         out["v"] = jax.lax.dynamic_update_slice(cache["v"], vt.astype(cache["v"].dtype), zero5)
@@ -98,6 +176,10 @@ def write_prefix(cache: Cache, k_pre: jax.Array, v_pre: jax.Array) -> Cache:
     before they ever become attention-valid, so no masked_tokens buffer is
     needed (the repo's contiguous per-row layout vs the reference's
     p p x x i i padding scheme, GptNeoX.cc:461-463)."""
+    assert not (packed4(cache, "k") or packed4(cache, "v")), (
+        "prompt learning requires an unpacked KV cache (int8/bf16): prefix "
+        "widths are per-row and may straddle int4 position-pair bytes"
+    )
     out = dict(cache)
     zero5 = (0, 0, 0, 0, 0)
     zero4 = (0, 0, 0, 0)
@@ -173,13 +255,36 @@ def write_decode(
         mask = skip.reshape((-1,) + (1,) * (new.ndim - 1))
         return jnp.where(mask, old, new)
 
+    def w4(name, t):
+        """Packed int4 slab write: read-modify-write the position-pair byte.
+        Even slots overwrite the whole byte (the high nibble belongs to the
+        NEXT, not-yet-written slot); odd slots merge over the low nibble."""
+        slab = cache[name + "4"]
+        q, s = _quantize_vec(t, 7.0)
+        byte_pos = positions // 2
+        odd = (positions % 2 == 1).reshape(-1, 1, 1)
+        old = _read_rows(slab, layer, byte_pos)
+        new = jnp.where(odd, (old & 0x0F) | jnp.left_shift(q, 4), q & 0xF)
+        if skip is not None:
+            new = jnp.where(skip.reshape(-1, 1, 1), old, new)
+        out[name + "4"] = _row_update(slab, layer, new, byte_pos)
+        out[name + "_s"] = _row_update(
+            cache[name + "_s"], layer, keep(s, cache[name + "_s"]), positions
+        )
+
     if quantized(cache):
-        kq, ks = _quantize_vec(kt)
-        vq, vs = _quantize_vec(vt)
-        out["k"] = _row_update(cache["k"], layer, keep(kq, cache["k"]), positions)
-        out["v"] = _row_update(cache["v"], layer, keep(vq, cache["v"]), positions)
-        out["k_s"] = _row_update(cache["k_s"], layer, keep(ks, cache["k_s"]), positions)
-        out["v_s"] = _row_update(cache["v_s"], layer, keep(vs, cache["v_s"]), positions)
+        for name, t in (("k", kt), ("v", vt)):
+            if packed4(cache, name):
+                w4(name, t)
+            else:
+                q, s = _quantize_vec(t)
+                out[name] = _row_update(
+                    cache[name], layer, keep(q, cache[name]), positions
+                )
+                out[name + "_s"] = _row_update(
+                    cache[name + "_s"], layer, keep(s, cache[name + "_s"]),
+                    positions,
+                )
     else:
         kt = kt.astype(cache["k"].dtype)
         vt = vt.astype(cache["v"].dtype)
@@ -198,6 +303,10 @@ def write_chunk(
     bool — rows with active=False keep their existing cache bytes (they may be
     mid-generation while other slots chunk-prefill). Used by the continuous
     batcher's chunked admission (the pool analog of write_prefill)."""
+    assert not (packed4(cache, "k") or packed4(cache, "v")), (
+        "the continuous batcher requires an unpacked KV cache (int8/bf16): "
+        "per-row chunk offsets may straddle int4 position-pair bytes"
+    )
     kt = k.transpose(0, 2, 1, 3)  # [B, nH, C, dh]
     vt = v.transpose(0, 2, 1, 3)
     out = dict(cache)
@@ -263,7 +372,7 @@ def attend_chunk(
     nKV < nH heads) the g query heads sharing a KV head fold into the query
     axis — the KV bytes are read once per group, never repeated."""
     B, C, nH, dh = q.shape
-    nKV = cache["k"].shape[2]
+    nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
     if nH != nKV:
         g = nH // nKV
         qc = (
@@ -277,10 +386,10 @@ def attend_chunk(
             .transpose(0, 1, 3, 2, 4)
             .reshape(B, C, nH, dh)
         )
-    cache_l = {
+    cache_l = _unpack_layer({
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
         for k, v in cache.items()
-    }
+    })
     scores = jnp.einsum(
         "bchd,bhsd->bchs", q, cache_l["k"].astype(q.dtype),
         preferred_element_type=jnp.float32,
@@ -371,10 +480,10 @@ def attend_decode_beam(
     the reference decode kernel's head-grouping + cache_indir combination
     (decoder_masked_multihead_attention_template.hpp head_num/kv_head_num).
     """
-    cache_l = {
+    cache_l = _unpack_layer({
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
         for k, v in cache.items()
-    }
+    })
     BB, S = indir.shape
     B = BB // bw
     nH, dh = q.shape[1], q.shape[2]
@@ -429,9 +538,9 @@ def attend_decode(
       scores = (q . k8) * k_s;   out = sum_s p_s*v_s = (p * v_s) @ v8.
     The layer dynamic-slice fuses into the contractions (read-only).
     """
-    S = cache["k"].shape[3]
-    dh = cache["k"].shape[4]
-    nKV = cache["k"].shape[2]
+    S = seq_len_of(cache)
+    dh = (cache["v4"] if "v4" in cache else cache["v"]).shape[4]
+    nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
     if beam is not None:
         bw, indir = beam
         return attend_decode_beam(cache, layer, q, valid, sm_scale, indir, bw)
@@ -446,19 +555,20 @@ def attend_decode(
         and dh in (128, 256)
         and S >= _FLASH_MIN_S[quantized(cache)]
     ):
-        # the seq-chunked kernel handles any S (ragged tail masked), both
-        # int8 and float caches, and any batch; dh must fill whole lanes
+        # the seq-chunked kernel handles any S (ragged tail masked), int8 /
+        # packed-int4 / float caches, and any batch; dh must fill whole lanes
         from ..ops.flash_decode import flash_decode_stacked
 
         return flash_decode_stacked(
-            q, cache["k"], cache.get("k_s"), cache["v"], cache.get("v_s"),
+            q, cache.get("k4", cache.get("k")), cache.get("k_s"),
+            cache.get("v4", cache.get("v")), cache.get("v_s"),
             layer, positions, sm_scale=sm_scale,
         )
 
-    cache_l = {
+    cache_l = _unpack_layer({
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
         for k, v in cache.items()
-    }
+    })
     k8 = cache_l["k"]
     kc = k8.astype(q.dtype) if quantized(cache_l) else k8
     scores = jnp.einsum(

@@ -381,7 +381,7 @@ def prefill_chunk(
     Fills cache positions [pos, pos+C) for active rows; inactive rows'
     cache bytes are preserved. Returns (hidden [B, C, H], cache)."""
     B, C = tokens_chunk.shape
-    S = cache["k"].shape[3]
+    S = kvc.seq_len_of(cache)
     x = _embed_lookup(params, tokens_chunk) if embeds is None else embeds
 
     if rotary_tables is None:
@@ -492,7 +492,7 @@ def decode_step(
 ) -> Tuple[jax.Array, KVCache]:
     """One incremental decode step. Returns (hidden [B, H], updated cache)."""
     B = tokens.shape[0]
-    cache_len = cache["k"].shape[3]
+    cache_len = kvc.seq_len_of(cache)
     x = _embed_lookup(params, tokens)[:, None, :]  # [B,1,H]
 
     if rotary_tables is None:

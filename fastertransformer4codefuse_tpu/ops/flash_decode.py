@@ -40,11 +40,20 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _kernel(
     scalars_ref, q_ref, k_ref, *rest, sm_scale, bs, n_s, hb, has_scale,
+    k_packed=False, v_packed=False,
 ):
     if has_scale:
         ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         v_ref, o_ref, m_ref, l_ref, acc_ref = rest
+
+    def load_kv(ref, packed):
+        # packed int4 slabs: bitcast doubles the sublane (sequence) axis with
+        # rows (2i, 2i+1) = positions in order; int4 -> bf16 is exact
+        raw = ref[0, 0]  # [hb, bs(/2), dh]
+        if packed:
+            return pltpu.bitcast(raw, jnp.int4).astype(jnp.bfloat16)
+        return raw.astype(jnp.bfloat16)
     b = pl.program_id(0)
     s_idx = pl.program_id(2)
     pos = scalars_ref[1 + b]  # newest-token slot (inclusive mask bound)
@@ -62,7 +71,7 @@ def _kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (hb, bs), 1) + s_idx * bs
         valid = col <= pos
         qb = q_ref[0].astype(jnp.bfloat16)  # [hb, dh]
-        kf = k_ref[0, 0].astype(jnp.bfloat16)  # [hb, bs, dh]
+        kf = load_kv(k_ref, k_packed)  # [hb, bs, dh]
         # scores = q @ k^T: hb-batched M=1 MXU dot, LANE-major [hb, bs]
         scores = jax.lax.dot_general(
             qb[:, None, :], kf, (((2,), (2,)), ((0,), (0,))),
@@ -83,7 +92,7 @@ def _kernel(
             pv_w = jnp.where(valid, p * vs_ref[0, 0].astype(jnp.float32), 0.0)
         else:
             pv_w = p
-        vf = v_ref[0, 0].astype(jnp.bfloat16)  # [hb, bs, dh]
+        vf = load_kv(v_ref, v_packed)  # [hb, bs, dh]
         if not has_scale:
             # float caches: tail garbage could be NaN while p is 0
             row = jax.lax.broadcasted_iota(jnp.int32, (hb, bs, 1), 1) + s_idx * bs
@@ -118,14 +127,22 @@ def flash_decode_stacked(
     interpret: bool = False,  # CPU emulation for tests
 ) -> jax.Array:
     B, nH, dh = q.shape
-    L, B2, nH2, S, dh2 = k_all.shape
-    assert (B, nH, dh) == (B2, nH2, dh2)
     has_scale = ks_all is not None
+    # packed int4 slabs carry S/2 position-pair bytes; the scale slab always
+    # has the UNPACKED length, which defines the grid and mask arithmetic
+    L, B2, nH2, Sk, dh2 = k_all.shape
+    S = ks_all.shape[3] if has_scale else Sk
+    k_packed = has_scale and 2 * Sk == S
+    v_packed = has_scale and 2 * v_all.shape[3] == S
+    assert (B, nH, dh) == (B2, nH2, dh2)
     hb = next(d for d in range(min(hb, nH), 0, -1) if nH % d == 0)
     # VMEM guard: K+V (+scales) blocks, double-buffered, must fit ~16MB
-    while hb * bs * (dh + 2) * 2 * k_all.dtype.itemsize * 2 > 12 * 1024 * 1024:
+    kv_bytes = (2 - k_packed * 0.5 - v_packed * 0.5) * k_all.dtype.itemsize
+    while hb * bs * (dh * kv_bytes + 4) * 2 > 12 * 1024 * 1024:
         bs //= 2
     bs = min(bs, -(-S // 128) * 128)
+    if k_packed or v_packed:
+        bs = max(bs, 256)  # bs//2 must stay a sublane multiple of 128
     n_s = -(-S // bs)  # ceil: tail chunk rows are masked by the pos bound
     scalars = jnp.concatenate(
         [jnp.asarray(layer, jnp.int32).reshape(1), positions.astype(jnp.int32)]
@@ -140,19 +157,26 @@ def flash_decode_stacked(
     def _s_clamp(b, s, sr):
         return jnp.minimum(s, sr[1 + b] // bs)
 
-    kv_spec = pl.BlockSpec(
-        (1, 1, hb, bs, dh), lambda b, h, s, sr: (sr[0], b, h, _s_clamp(b, s, sr), 0)
-    )
+    def kv_spec(packed):
+        rows = bs // 2 if packed else bs
+        return pl.BlockSpec(
+            (1, 1, hb, rows, dh),
+            lambda b, h, s, sr: (sr[0], b, h, _s_clamp(b, s, sr), 0),
+        )
+
     sc_spec = pl.BlockSpec(
         (1, 1, hb, bs), lambda b, h, s, sr: (sr[0], b, h, _s_clamp(b, s, sr))
     )
-    in_specs = [pl.BlockSpec((1, hb, dh), lambda b, h, s, sr: (b, h, 0)), kv_spec]
+    in_specs = [
+        pl.BlockSpec((1, hb, dh), lambda b, h, s, sr: (b, h, 0)),
+        kv_spec(k_packed),
+    ]
     operands = [q, k_all]
     if has_scale:
-        in_specs += [sc_spec, kv_spec, sc_spec]
+        in_specs += [sc_spec, kv_spec(v_packed), sc_spec]
         operands += [ks_all, v_all, vs_all]
     else:
-        in_specs += [kv_spec]
+        in_specs += [kv_spec(False)]
         operands += [v_all]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -167,7 +191,8 @@ def flash_decode_stacked(
     )
     return pl.pallas_call(
         functools.partial(
-            _kernel, sm_scale=sm_scale, bs=bs, n_s=n_s, hb=hb, has_scale=has_scale
+            _kernel, sm_scale=sm_scale, bs=bs, n_s=n_s, hb=hb,
+            has_scale=has_scale, k_packed=k_packed, v_packed=v_packed,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nH, dh), q.dtype),

@@ -59,6 +59,65 @@ def eval_nll(
     return total_nll / max(total_tok, 1)
 
 
+def _decode_chunk_nll(config, params, chunk_ids, kv_dtype, prefix):
+    """Sum of next-token NLL over one chunk, predictions made through the
+    DECODE path (teacher-forced) so the quantized KV cache is exercised —
+    prefill-based NLL cannot see KV-cache dtype at all."""
+    S = chunk_ids.shape[0]
+    Sc = S + (S % 2)  # packed caches need even capacity
+    cache = model.init_kv_cache(config, 1, Sc, kv_dtype)
+    hidden, cache = model.prefill(
+        config, params, chunk_ids[None, :prefix],
+        jnp.full((1,), prefix, jnp.int32), cache,
+    )
+    rot = model.make_rotary_tables(
+        Sc, config.rotary_embedding_dim, config.rotary_base
+    )
+
+    def lp_of(hid, tgt):
+        logits = model.lm_logits(config, params, hid[None])[0, -1]
+        return jax.nn.log_softmax(logits)[tgt]
+
+    first = lp_of(hidden[0, -1:], chunk_ids[prefix])
+
+    def step(carry, t):
+        cache = carry
+        hid, cache = model.decode_step(
+            config, params, chunk_ids[t][None], jnp.asarray([t], jnp.int32),
+            cache, rotary_tables=rot,
+        )  # hid [1, H]
+        return cache, lp_of(hid, chunk_ids[t + 1])
+
+    _, lps = jax.lax.scan(
+        step, cache, jnp.arange(prefix, S - 1, dtype=jnp.int32)
+    )
+    return -(first + jnp.sum(lps))
+
+
+def eval_decode_nll(
+    config: GptNeoXConfig,
+    params,
+    token_ids: Sequence[int],
+    kv_dtype,
+    chunk: int = 256,
+    prefix: int = 32,
+) -> float:
+    """Mean next-token NLL with predictions flowing through decode attention
+    over a ``kv_dtype`` cache (the KV-quantization quality measurement)."""
+    ids = np.asarray(token_ids, np.int32)
+    fn = jax.jit(
+        lambda p, c: _decode_chunk_nll(config, p, c, kv_dtype, prefix)
+    )
+    total_nll, total_tok = 0.0, 0
+    for start in range(0, len(ids) - 1, chunk):
+        piece = ids[start : start + chunk + 1]
+        if len(piece) != chunk + 1:
+            break
+        total_nll += float(fn(params, jnp.asarray(piece)))
+        total_tok += chunk + 1 - prefix
+    return total_nll / max(total_tok, 1)
+
+
 def greedy_agreement(
     engine_a, engine_b, prompts: List[List[int]], output_len: int = 32
 ) -> float:

@@ -78,6 +78,10 @@ def main():
         quantize_params(awq, weight_bits=4, group_size=128), 1, None,
     )
     variants["int4 g128 + AWQ + int8 KV"] = (variants["int4 g128 + AWQ"][0], 1, "int8")
+    variants["int4 g128 + AWQ + int8k4v KV"] = (
+        variants["int4 g128 + AWQ"][0], 1, "int8k_int4v",
+    )
+    variants["int4 g128 + AWQ + int4 KV"] = (variants["int4 g128 + AWQ"][0], 1, "int4")
 
     prompts = [
         held[i * 64 : i * 64 + 64].tolist() for i in range(args.prompts)
@@ -92,6 +96,16 @@ def main():
         )
 
     eng_fp = engine(*variants["fp32"])
+    # decode-path NLL baseline: fp32 weights through a bf16 cache — prefill
+    # NLL cannot see the KV dtype, so KV rows get this extra column
+    from quality_eval import eval_decode_nll
+
+    dec_ids = nll_ids[: min(len(nll_ids), 4096)]
+    import jax.numpy as jnp
+
+    dec_fp = eval_decode_nll(cfg, params, dec_ids, jnp.bfloat16)
+    print(f"decode-path fp32/bf16KV NLL baseline: {dec_fp:.4f}", flush=True)
+
     rows = []
     nll_fp = None
     for name, (p, mode, kv) in variants.items():
@@ -103,21 +117,28 @@ def main():
             agree = greedy_agreement(
                 eng_fp, engine(p, mode, kv), prompts, output_len=args.gen_len
             )
-        rows.append((name, nll, np.exp(nll), nll - nll_fp, agree))
+        dec_d = None
+        if kv is not None:
+            kv_dt = jnp.int8 if kv == "int8" else kv
+            dec_d = eval_decode_nll(cfg, p, dec_ids, kv_dt) - dec_fp
+        rows.append((name, nll, np.exp(nll), nll - nll_fp, agree, dec_d))
+        dec_s = f"  decode-dNLL {dec_d:+.4f}" if dec_d is not None else ""
         print(
-            f"{name:28s} nll {nll:.4f}  ppl {np.exp(nll):7.3f}  "
-            f"dNLL {nll - nll_fp:+.4f}  greedy-agree {agree*100:5.1f}%",
+            f"{name:32s} nll {nll:.4f}  ppl {np.exp(nll):7.3f}  "
+            f"dNLL {nll - nll_fp:+.4f}  greedy-agree {agree*100:5.1f}%{dec_s}",
             flush=True,
         )
 
     if args.out:
         lines = [
-            "| config | NLL | ppl | dNLL vs fp32 | greedy agreement |",
-            "|---|---|---|---|---|",
+            "| config | NLL | ppl | dNLL vs fp32 | greedy agreement | decode dNLL (KV) |",
+            "|---|---|---|---|---|---|",
         ]
-        for name, nll, ppl, d, agree in rows:
+        for name, nll, ppl, d, agree, dec_d in rows:
+            dc = f"{dec_d:+.4f}" if dec_d is not None else "—"
             lines.append(
-                f"| {name} | {nll:.4f} | {ppl:.3f} | {d:+.4f} | {agree*100:.1f}% |"
+                f"| {name} | {nll:.4f} | {ppl:.3f} | {d:+.4f} | "
+                f"{agree*100:.1f}% | {dc} |"
             )
         with open(args.out, "a") as f:
             f.write("\n".join(lines) + "\n")
