@@ -184,12 +184,15 @@ def sweep_upd(args):
         def make_loop(iters):
             @jax.jit
             def loop(ops):
-                xu, xp, r = ops
+                # ALL operands (incl. the stacked weights) arrive as jit
+                # arguments — closure capture turns them into 400MB jit
+                # constants and stalls the (remote) compile for ~an hour
+                (xu, xp, r, pu, pp_, pd, su, sp, sd, bu, bd) = ops
 
                 def body(i, acc):
                     y = fused_up_proj_down(
-                        xu, xp, r, p_up, p_proj, p_down, s_up, s_proj, s_down,
-                        b_up, b_down, i % L, bits, act="gelu-tanh",
+                        xu, xp, r, pu, pp_, pd, su, sp, sd,
+                        bu, bd, i % L, bits, act="gelu-tanh",
                         bku=bku, bkp=bkp, bkd=bkd,
                     )
                     return acc + y[0, 0].astype(jnp.float32)
@@ -213,7 +216,9 @@ def sweep_upd(args):
     for bku, bkp, bkd in cands:
         try:
             t = timed(
-                make_make_loop(bku, bkp, bkd), (x_up, x_proj, residual),
+                make_make_loop(bku, bkp, bkd),
+                (x_up, x_proj, residual, p_up, p_proj, p_down,
+                 s_up, s_proj, s_down, b_up, b_down),
                 args.iters, floor_us=0.6 * sol_us,
             ) * 1e6
         except Exception as e:  # noqa: BLE001

@@ -160,6 +160,16 @@ def main():
             quantize_params(params_fp, weight_bits=4, group_size=128),
             RuntimeConfig(dtype="bf16", int8_mode=1, seq_bucket=8),
         ),
+        "int4+kv4": (
+            quantize_params(params_fp, weight_bits=4),
+            RuntimeConfig(dtype="bf16", int8_mode=1, kv_cache_dtype="int4", seq_bucket=8),
+        ),
+        "int4+kv8k4v": (
+            quantize_params(params_fp, weight_bits=4),
+            RuntimeConfig(
+                dtype="bf16", int8_mode=1, kv_cache_dtype="int8k_int4v", seq_bucket=8
+            ),
+        ),
     }
     for name, (p, rt) in configs.items():
         eng = GptNeoXEngine(cfg, p, rt)
@@ -207,6 +217,36 @@ def main():
             print(f"{act}/{name:10s} fused-decode tokens: {toks[True]} vs {toks[False]}")
             assert toks[True] == toks[False], f"{act}/{name}: fused decode diverges"
     print("fused decode == unmerged decode:", True)
+
+    # --- packed-int4 flash-decode kernel on real hardware --------------------
+    # the engine smoke above stays under _FLASH_MIN_S, so hit the kernel
+    # directly at a bench-like S (interpret mode cannot catch Mosaic-level
+    # issues with the int4 bitcast on halved sublane blocks)
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu.engine import kv_cache as kvc
+    from fastertransformer4codefuse_tpu.ops.flash_decode import flash_decode_stacked
+
+    L, B, nH, S, dh = 2, 1, 8, 1088, 128
+    cache4 = {
+        "k4": jnp.asarray(rng.integers(-128, 128, (L, B, nH, S // 2, dh)), jnp.int8),
+        "v4": jnp.asarray(rng.integers(-128, 128, (L, B, nH, S // 2, dh)), jnp.int8),
+        "k_s": jnp.asarray(rng.random((L, B, nH, S)) * 0.02, jnp.bfloat16),
+        "v_s": jnp.asarray(rng.random((L, B, nH, S)) * 0.02, jnp.bfloat16),
+    }
+    qv = jnp.asarray(rng.standard_normal((B, nH, dh)), jnp.bfloat16)
+    positions = jnp.asarray([901], jnp.int32)
+    valid = jnp.arange(S)[None, :] <= positions[:, None]
+    kvc.set_flash_decode(False)
+    ref4 = kvc.attend_decode(cache4, jnp.int32(1), qv, valid, 0.088, positions=positions)
+    kvc.set_flash_decode(True)
+    out4 = flash_decode_stacked(
+        qv, cache4["k4"], cache4["k_s"], cache4["v4"], cache4["v_s"],
+        jnp.int32(1), positions, sm_scale=0.088,
+    )
+    err4 = float(jnp.max(jnp.abs(out4.astype(jnp.float32) - ref4.astype(jnp.float32))))
+    print(f"int4-KV flash kernel vs XLA @S={S}: maxerr {err4:.4f}")
+    assert err4 < 0.05, err4
 
     # --- streaming == batch; beam; batcher ----------------------------------
     eng = GptNeoXEngine(cfg, params_fp, RuntimeConfig(dtype="bf16", seq_bucket=8))
