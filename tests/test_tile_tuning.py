@@ -58,5 +58,11 @@ def test_shipped_cache_is_valid_json():
     assert data, "shipped cache should not be empty"
     for key, e in data.items():
         assert e["us"] > 0, (key, e)
+        if e.get("bku"):
+            # mega-kernel entries carry per-PHASE contraction tiles instead
+            # of a single (bn, bk) pair (bn/bk are 0 placeholders)
+            for f in ("bku", "bkp", "bkd"):
+                assert e[f] % 128 == 0 and e[f] > 0, (key, e)
+            continue
         assert e["bn"] % 128 == 0 and e["bn"] > 0, (key, e)
         assert e["bk"] % 128 == 0 and e["bk"] > 0, (key, e)
