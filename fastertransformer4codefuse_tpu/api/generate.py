@@ -33,14 +33,17 @@ def init_engine_and_tokenizer(
     group_size: int = 0,
     kv_cache_dtype: Optional[str] = None,
     q_layout: str = "plain",
+    quantize_embeddings: Optional[bool] = None,
 ):
     """Load config.ini + weights + tokenizer; build the engine (and optionally
     the vocab trie). The analog of init_model_and_tokenizer
     (codefuse_example.py:619-663), extended with the quantization knobs the
     engine supports beyond the reference: ``weight_bits=4`` serves a
     ``.q4.bin``/``.s4[gN].bin`` int4 checkpoint (or quantizes an fp checkpoint
-    on load), ``group_size`` selects group-wise W4 scales, and
-    ``kv_cache_dtype="int8"`` enables the int8 KV cache."""
+    on load), ``group_size`` selects group-wise W4 scales,
+    ``kv_cache_dtype="int8"`` enables the int8 KV cache, and
+    ``quantize_embeddings`` also quantizes the embedding table + LM head
+    (13B-on-one-16GB-chip mode; ``int8_mode=2`` is its deprecated alias)."""
     from transformers import AutoTokenizer
 
     from ..ckpt.loader import load_bin_checkpoint
@@ -48,6 +51,7 @@ def init_engine_and_tokenizer(
     config, params = load_bin_checkpoint(
         ckpt_path, dtype=dtype, int8_mode=int8_mode,
         weight_bits=weight_bits, group_size=group_size, q_layout=q_layout,
+        quantize_embeddings=quantize_embeddings,
     )
     if end_id is not None:
         config = GptNeoXConfig(**{**config.__dict__, "end_id": end_id})
@@ -85,16 +89,27 @@ def generate(
     temperature=None,
     len_penalty=None,
     repetition_penalty=None,
+    presence_penalty=None,
+    min_length=None,
     random_seed=None,
     input_ids_list: Optional[List[List[int]]] = None,
     callback: Optional[Callable[[dict], None]] = None,
     stop_words_list: Optional[List[List[str]]] = None,
+    bad_words_list: Optional[List[List[str]]] = None,
     last_token_list: Optional[List[str]] = None,
     trie: Optional[VocabTrie] = None,
-) -> Tuple[List[List[str]], List[List[int]], List[List[float]], float]:
+    return_cum_log_probs: int = 1,
+    output_log_probs: bool = False,
+):
     """Returns (outputs [B][beam] str, output_lengths [B][beam],
     cum_log_probs [B][beam], latency_s) — the reference generate()'s contract
-    (codefuse_example.py:666-770)."""
+    (codefuse_example.py:666-770; it passes return_cum_log_probs=1, line 745).
+    With ``output_log_probs=True`` a 5th element is appended: the per-step
+    log-prob of each generated token, [B][beam][out_len].
+
+    Knobs beyond the reference's generate(): presence_penalty, min_length,
+    bad_words_list (same string format as stop words) — all engine-supported
+    per-sample parameters (BaseSamplingLayer penalty set)."""
     assert texts is not None or input_ids_list is not None
     end_id = engine.config.end_id
 
@@ -106,6 +121,11 @@ def generate(
     sw = (
         to_word_list_format(stop_words_list, tokenizer)
         if stop_words_list is not None
+        else None
+    )
+    bw_list = (
+        to_word_list_format(bad_words_list, tokenizer)
+        if bad_words_list is not None
         else None
     )
 
@@ -130,12 +150,17 @@ def generate(
         top_p=top_p,
         temperature=temperature,
         repetition_penalty=repetition_penalty,
+        presence_penalty=presence_penalty,
+        min_length=min_length,
         random_seed=random_seed,
         stop_words_list=sw,
+        bad_words_list=bw_list,
         optional_last_tokens=olt,
         callback=callback,
         beam_search_diversity_rate=beam_search_diversity_rate,
         len_penalty=len_penalty,
+        return_cum_log_probs=bool(return_cum_log_probs),
+        output_log_probs=output_log_probs,
     )
     latency = time.time() - start
 
@@ -157,4 +182,9 @@ def generate(
         outputs.append(beam_outputs)
         output_lengths.append(beam_lengths)
 
+    if output_log_probs:
+        return (
+            outputs, output_lengths, out.cum_log_probs.tolist(), latency,
+            out.output_log_probs.tolist(),
+        )
     return outputs, output_lengths, out.cum_log_probs.tolist(), latency

@@ -89,8 +89,17 @@ def load_bin_checkpoint(
     group_size: int = 0,
     num_threads: int = 16,
     q_layout: str = "plain",
+    quantize_embeddings: Optional[bool] = None,
 ) -> tuple:
-    """Load a reference-format checkpoint dir. Returns (config, params)."""
+    """Load a reference-format checkpoint dir. Returns (config, params).
+
+    ``quantize_embeddings`` also quantizes the embedding table + LM head
+    (engine extension beyond the reference; needed to fit 13B on one 16GB
+    chip). ``int8_mode=2`` is a deprecated back-compat alias for it — the
+    reference reserves mode 2 for SmoothQuant full-int8 (SURVEY §2.2), which
+    its gptneox path does not support either."""
+    if quantize_embeddings is None:
+        quantize_embeddings = int8_mode >= 2
     if config is None:
         config = GptNeoXConfig.from_ini(ckpt_path)
     dtype = jnp_dtype(dtype)
@@ -339,16 +348,16 @@ def load_bin_checkpoint(
         "lm_head": jnp.asarray(read("model.lm_head.weight.bin", (V, H)), dtype),
     }
     pool.shutdown()
-    if int8_mode >= 1 and (quantize_on_load or int8_mode >= 2):
+    if int8_mode >= 1 and (quantize_on_load or quantize_embeddings):
         # quantize_on_load: fp kernels -> QuantizedTensors in memory (already-
-        # quantized layer weights are skipped). int8_mode=2 (engine extension
-        # beyond the reference, documented in STATUS.md): embeddings + LM head
-        # int8 too (int4 transposed head when weight_bits=4) — the
-        # single-16GB-chip configuration for 13B.
+        # quantized layer weights are skipped). quantize_embeddings (engine
+        # extension beyond the reference, documented in STATUS.md):
+        # embeddings + LM head int8 too (int4 transposed head when
+        # weight_bits=4) — the single-16GB-chip configuration for 13B.
         from .quantize import quantize_params
 
         params = quantize_params(
-            params, include_embeddings=int8_mode >= 2, weight_bits=weight_bits,
-            group_size=group_size,
+            params, include_embeddings=quantize_embeddings,
+            weight_bits=weight_bits, group_size=group_size,
         )
     return config, params

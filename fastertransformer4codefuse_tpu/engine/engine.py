@@ -84,6 +84,11 @@ class _Statics:
     prompt_width: int = 0  # padded prompt length P (0 = no prompt learning)
     prompt_kind: str = "none"  # "none" | "prefix" | "soft"
     use_output_log_probs: bool = False  # return per-step token log-probs
+    # Compute cum_log_probs (full-vocab normalization per step). Default OFF —
+    # the reference's op-level contract (codefuse_example.py:560
+    # return_cum_log_probs=0 skips the softmax+log kernel pass,
+    # sampling_topk_kernels.cu:271-292); its Python generate() turns it on.
+    use_cum_log_probs: bool = False
 
 
 def _pad_to(x: np.ndarray, width: int, axis: int, value) -> np.ndarray:
@@ -280,18 +285,20 @@ class GptNeoXEngine:
                 logits, gen_lens, inputs["min_length"], end_id
             )
 
+        need_lp = st.use_cum_log_probs or st.use_output_log_probs
         if st.greedy:
-            res = sample_greedy(logits)
+            res = sample_greedy(logits, need_log_probs=need_lp)
         else:
             rngs = jax.vmap(jax.random.fold_in)(s.base_keys, jnp.full((B,), s.gen_step))
             if st.sampling_cap:
                 res = sample_top_k_top_p_capped(
                     rngs, logits, inputs["top_k"], inputs["top_p"],
-                    cap=st.sampling_cap,
+                    cap=st.sampling_cap, need_log_probs=need_lp,
                 )
             else:
                 res = sample_top_k_top_p(
-                    rngs, logits, inputs["top_k"], inputs["top_p"]
+                    rngs, logits, inputs["top_k"], inputs["top_p"],
+                    need_log_probs=need_lp,
                 )
 
         tok = jnp.where(s.finished, end_id, res.tokens)
@@ -385,6 +392,23 @@ class GptNeoXEngine:
             # (unfused_attention_kernels.cu:1402 dst_kv_seq_idx).
             from .kv_cache import write_prefix
 
+            if self._pp > 1:
+                # pp path: same math, each stage prefills its own layer block
+                # (the reference plumbs prompts through PP too,
+                # GptNeoX.cc:443-509)
+                from ..parallel import pipeline
+
+                def chunk_fn(toks, p, cache, active, embeds=None):
+                    return pipeline.prefill_chunk(
+                        cfg, self.mesh, params, toks, p, cache, active,
+                        embeds=embeds,
+                    )
+            else:
+                def chunk_fn(toks, p, cache, active, embeds=None):
+                    return model.prefill_chunk(
+                        cfg, params, toks, p, cache, active, embeds=embeds
+                    )
+
             pos_offset = inputs["prompt_lengths"]
             active = jnp.ones((B,), jnp.bool_)
             if st.prompt_kind == "prefix":
@@ -392,12 +416,11 @@ class GptNeoXEngine:
             else:  # soft: run the prompt embeddings through the stack at [0, P)
                 emb = inputs["prompt_embeds"].astype(params["final_ln_w"].dtype)
                 dummy = jnp.zeros((B, st.prompt_width), jnp.int32)
-                _, cache = model.prefill_chunk(
-                    cfg, params, dummy, jnp.zeros((B,), jnp.int32), cache,
-                    active, embeds=emb,
+                _, cache = chunk_fn(
+                    dummy, jnp.zeros((B,), jnp.int32), cache, active, embeds=emb
                 )
-            hidden, cache = model.prefill_chunk(
-                cfg, params, tokens[:, : st.input_width], pos_offset, cache, active
+            hidden, cache = chunk_fn(
+                tokens[:, : st.input_width], pos_offset, cache, active
             )
         elif self._pp > 1:
             from ..parallel import pipeline
@@ -632,6 +655,7 @@ class GptNeoXEngine:
         request_prompt_embedding: Optional[np.ndarray] = None,
         request_prompt_lengths: Optional[Sequence[int]] = None,
         output_log_probs: bool = False,
+        return_cum_log_probs: bool = False,
     ) -> Tuple[_Statics, Dict[str, jax.Array]]:
         cfg = self.config
         rt = self.runtime
@@ -727,6 +751,7 @@ class GptNeoXEngine:
             prompt_width=prompt_width,
             prompt_kind=prompt_kind,
             use_output_log_probs=bool(output_log_probs),
+            use_cum_log_probs=bool(return_cum_log_probs),
         )
         inputs = {
             "tokens": jnp.asarray(tokens),
@@ -770,14 +795,6 @@ class GptNeoXEngine:
             for i, ids in enumerate(input_ids):
                 padded[i, : len(ids)] = np.asarray(ids, np.int32)
             debug_verify(self, padded, lens)
-        if self._pp > 1:
-            if any(
-                sampling_kwargs.get(k) is not None
-                for k in ("prompt_learning_task_name_ids", "request_prompt_embedding")
-            ):
-                raise NotImplementedError(
-                    "prompt learning currently supports pp=1"
-                )
         if beam_width != 1:
             from ..sampling.beam import beam_search_generate
 

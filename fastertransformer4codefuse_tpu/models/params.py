@@ -144,6 +144,7 @@ def init_params(
     int8_mode: int = 0,
     weight_bits: int = 8,
     group_size: int = 0,
+    quantize_embeddings: Optional[bool] = None,
 ) -> Params:
     """Random-init a full parameter pytree (tests / benchmarks).
 
@@ -151,7 +152,17 @@ def init_params(
     QuantizedTensors (random int8 + small scales), mirroring the reference's
     pre-quantized checkpoint path (enable_int8_weights,
     codefuse_example.py:407-418).
+
+    ``quantize_embeddings`` additionally quantizes the embedding table and LM
+    head (per-row int8 scales; transposed packed int4 head when
+    weight_bits=4) — an engine extension the reference does not have (it keeps
+    these fp16, codefuse_example.py:273-285). ``int8_mode=2`` is accepted as a
+    back-compat alias for this flag; note the REFERENCE reserves int8_mode=2
+    for SmoothQuant full-int8 (unsupported on its gptneox path), so the alias
+    is deprecated in favor of the explicit flag.
     """
+    if quantize_embeddings is None:
+        quantize_embeddings = int8_mode >= 2
     dtype = jnp_dtype(dtype)
     L = config.layer_num
     H = config.hidden_size
@@ -168,12 +179,16 @@ def init_params(
     # eager path's transients alone exceed a 16GB chip
     return jax.jit(
         lambda key: _init_params_inner(
-            config, key, dtype, std, int8_mode, weight_bits, group_size
+            config, key, dtype, std, int8_mode, weight_bits, group_size,
+            quantize_embeddings,
         )
     )(rng)
 
 
-def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_size=0):
+def _init_params_inner(
+    config, rng, dtype, std, int8_mode, weight_bits=8, group_size=0,
+    quantize_embeddings=False,
+):
     L = config.layer_num
     H = config.hidden_size
     nH = config.head_num
@@ -240,10 +255,10 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_
             layers["proj_b"] = jnp.zeros((L, H), dtype)
 
     def maybe_quant_rowwise(key, shape):
-        # int8_mode=2: embeddings/lm-head int8 too (per-row scales) — the
-        # single-16GB-chip configuration for 13B (engine extension; the
+        # quantize_embeddings: embeddings/lm-head int8 too (per-row scales) —
+        # the single-16GB-chip configuration for 13B (engine extension; the
         # reference always keeps these fp16)
-        if int8_mode >= 2:
+        if quantize_embeddings:
             qkey, skey = jax.random.split(key)
             q = rand_i8(qkey, shape)
             scale = jax.random.uniform(skey, shape[:-1], jnp.float32, 0.5, 1.5) * std / 127.0
@@ -251,7 +266,7 @@ def _init_params_inner(config, rng, dtype, std, int8_mode, weight_bits=8, group_
         return dense(key, shape)
 
     def lm_head_weight(key):
-        if int8_mode >= 2 and weight_bits == 4:
+        if quantize_embeddings and weight_bits == 4:
             # int4 head: transposed [H, V_pad] packed layout feeding the W4
             # kernel; V pads to a 2560 multiple for wide divisor tiles
             # (ckpt.quantize.quantize_lm_head_int4)

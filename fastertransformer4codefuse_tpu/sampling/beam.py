@@ -55,9 +55,12 @@ def beam_search_generate(
     # tile prompts beam-minor: rows [b*bw + j]
     tiled = [list(ids) for ids in input_ids for _ in range(bw)]
     # beam search ignores top_k/top_p (like the reference's DynamicDecodeLayer
-    # routing, which dispatches to beam layers when beam_width > 1)
+    # routing, which dispatches to beam layers when beam_width > 1); beam
+    # scoring needs per-token log-probs regardless, so return_cum_log_probs
+    # is accepted-and-always-on here (the cum buffer is the beam score)
     sampling_kwargs.pop("top_k", None)
     sampling_kwargs.pop("top_p", None)
+    sampling_kwargs.pop("return_cum_log_probs", None)
     # tile per-batch request arrays to per-row (beam-minor)
     for k, v in list(sampling_kwargs.items()):
         if v is None or np.isscalar(v):

@@ -31,7 +31,11 @@ class SampleResult(NamedTuple):
     tokens: jax.Array  # [BB] int32
     log_probs: jax.Array  # [BB] f32 — log prob of the chosen token under the FULL
     # processed distribution (the reference pre-softmaxes the whole vocab when
-    # cum_log_probs is requested: sampling_topk_kernels.cu:271-292)
+    # cum_log_probs is requested: sampling_topk_kernels.cu:271-292). When the
+    # caller passes need_log_probs=False this is zeros and the full-vocab
+    # normalization (log_softmax / logsumexp over [B, V]) is skipped entirely —
+    # the reference's return_cum_log_probs=0 contract, which gates the
+    # softmax+log pass in sampling_topk_kernels.cu:271-292 off.
 
 
 def sample_top_k_top_p(
@@ -40,6 +44,7 @@ def sample_top_k_top_p(
     logits: jax.Array,  # [BB, V] fp32, already processed (temperature etc.)
     top_k: jax.Array,  # [BB] int32, 0 = disabled
     top_p: jax.Array,  # [BB] f32, 0 = disabled
+    need_log_probs: bool = True,
 ) -> SampleResult:
     BB, V = logits.shape
     k = top_k.astype(jnp.int32)
@@ -76,6 +81,8 @@ def sample_top_k_top_p(
     gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (V,), jnp.float32))(rngs)
     tokens = jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)
 
+    if not need_log_probs:
+        return SampleResult(tokens=tokens, log_probs=jnp.zeros((BB,), jnp.float32))
     full_log_probs = jax.nn.log_softmax(logits, axis=-1)
     chosen_lp = jnp.take_along_axis(full_log_probs, tokens[:, None], axis=-1)[:, 0]
     return SampleResult(tokens=tokens, log_probs=chosen_lp)
@@ -87,12 +94,14 @@ def sample_top_k_top_p_capped(
     top_k: jax.Array,  # [BB] int32, all in (0, cap]
     top_p: jax.Array,  # [BB] f32, 0 = disabled
     cap: int = 128,
+    need_log_probs: bool = True,
 ) -> SampleResult:
     """Fast path when every row's top_k is in (0, cap]: one lax.top_k over the
     vocab instead of a full sort (the reference similarly caps top-k at 64,
     TopKSamplingLayer MAX_K). Semantics identical to sample_top_k_top_p for
     k <= cap."""
     BB, V = logits.shape
+    cap = min(cap, V)  # tiny vocabs: lax.top_k requires k <= V
     vals, idxs = jax.lax.top_k(logits, cap)  # [BB, cap] descending
     ranks = jnp.arange(cap)[None, :]
     kept = jnp.where(ranks < top_k[:, None], vals, NEG_INF)
@@ -107,6 +116,8 @@ def sample_top_k_top_p_capped(
     pick = jnp.argmax(masked + gumbel, axis=-1)
     tokens = jnp.take_along_axis(idxs, pick[:, None], axis=-1)[:, 0].astype(jnp.int32)
 
+    if not need_log_probs:
+        return SampleResult(tokens=tokens, log_probs=jnp.zeros((BB,), jnp.float32))
     # cum_log_probs under the FULL distribution (reference semantics) — a
     # logsumexp reduce, no sort needed
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
@@ -114,10 +125,17 @@ def sample_top_k_top_p_capped(
     return SampleResult(tokens=tokens, log_probs=chosen - lse)
 
 
-def sample_greedy(logits: jax.Array) -> SampleResult:
+def sample_greedy(logits: jax.Array, need_log_probs: bool = True) -> SampleResult:
     """argmax fast path: no vocab sort, no RNG. Used when the host knows every
-    sample in the batch is greedy (top_k==1, top_p==0)."""
+    sample in the batch is greedy (top_k==1, top_p==0). With
+    need_log_probs=False the full-vocab fp32 log_softmax is skipped — at 13B
+    that pass reads+writes [B, 100864] fp32 every step for a value the caller
+    never looks at."""
     tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if not need_log_probs:
+        return SampleResult(
+            tokens=tokens, log_probs=jnp.zeros((logits.shape[0],), jnp.float32)
+        )
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     chosen_lp = jnp.take_along_axis(log_probs, tokens[:, None], axis=-1)[:, 0]
     return SampleResult(tokens=tokens, log_probs=chosen_lp)

@@ -42,7 +42,9 @@ def test_beam_beats_or_matches_greedy():
     """The best beam's cumulative log prob must be >= greedy's (same model)."""
     cfg, eng = make_engine(seed=1)
     prompts = [[5, 6, 7]]
-    greedy = eng.generate(prompts, output_len=6, top_k=1)
+    greedy = eng.generate(
+        prompts, output_len=6, top_k=1, return_cum_log_probs=True
+    )
     beam = eng.generate(prompts, output_len=6, beam_width=4)
     assert beam.cum_log_probs[0, 0] >= greedy.cum_log_probs[0, 0] - 1e-4
 
@@ -159,7 +161,9 @@ def test_beam_gqa_llama_end_to_end():
     assert out.output_ids.shape[:2] == (1, 3)
     s = out.cum_log_probs[0]
     assert (np.diff(s) <= 1e-5).all(), s
-    greedy = eng.generate([prompt], output_len=6, top_k=1)
+    greedy = eng.generate(
+        [prompt], output_len=6, top_k=1, return_cum_log_probs=True
+    )
     assert out.cum_log_probs[0, 0] >= greedy.cum_log_probs[0, 0] - 1e-4
 
     # teacher-forced rescoring: each hypothesis' cum_log_prob must equal the

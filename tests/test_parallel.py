@@ -46,6 +46,7 @@ def run_engine(cfg, params, mesh=None, tp=1, int8=0, ubatch=1):
     return eng.generate(
         PROMPTS, output_len=6, top_k=[1, 3], top_p=[0.0, 0.9],
         temperature=[1.0, 0.8], repetition_penalty=1.05, random_seed=[5, 6],
+        return_cum_log_probs=True,
     )
 
 

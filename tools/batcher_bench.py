@@ -43,11 +43,11 @@ def main():
     from fastertransformer4codefuse_tpu.engine.batcher import ContinuousBatcher
 
     cfg = GptNeoXConfig.codefuse_13b()
-    params = init_params(cfg, dtype="bf16", int8_mode=2, weight_bits=args.bits)
+    params = init_params(cfg, dtype="bf16", int8_mode=1, quantize_embeddings=True, weight_bits=args.bits)
     jax.block_until_ready(params)
     eng = GptNeoXEngine(
         cfg, params,
-        RuntimeConfig(dtype="bf16", int8_mode=2, kv_cache_dtype="int8",
+        RuntimeConfig(dtype="bf16", int8_mode=1, kv_cache_dtype="int8",
                       max_batch_size=args.slots, max_seq_len=args.max_seq),
     )
     pool = ContinuousBatcher(

@@ -39,12 +39,12 @@ def main():
 
     cfg = GptNeoXConfig.codefuse_13b()
     params = init_params(
-        cfg, dtype="bf16", int8_mode=2, weight_bits=args.bits,
+        cfg, dtype="bf16", int8_mode=1, quantize_embeddings=True, weight_bits=args.bits,
         group_size=args.group,
     )
     eng = GptNeoXEngine(
         cfg, params,
-        RuntimeConfig(dtype="bf16", int8_mode=2, kv_cache_dtype="int8", seq_bucket=128),
+        RuntimeConfig(dtype="bf16", int8_mode=1, kv_cache_dtype="int8", seq_bucket=128),
     )
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, 50000, size=(args.in_len,)).tolist()
