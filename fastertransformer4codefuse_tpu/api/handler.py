@@ -5,17 +5,28 @@ Rebuilds the reference's CodeFuseHandler + get_data_package
 the same defaults (top_k=50, top_p=0, temperature=1, repetition_penalty=1),
 streaming via per-(batch,beam) incremental detokenizers, and the response
 schema {latency, random_seed, generated_code, length, cum_log_prob}.
+
+Beyond the reference: with ``pool=dict(...)`` the handler routes requests
+through a ContinuousBatcher slot pool (engine/server.py) — concurrent
+``predict`` calls from different threads interleave mid-flight instead of
+serializing whole static batches the way the reference's engine does
+(GptNeoX.cc:386-1052 runs one batch to completion while new requests wait).
+Sampling semantics, streaming, stop/bad words, trie constraints, and the
+response schema are identical on both paths; beam search and prompt-learning
+requests fall back to the static path automatically.
 """
 from __future__ import annotations
 
 import json
 import logging
 import random
+import time
 import traceback
 from typing import Callable, List, Optional
 
-from .detok import TokenStreamDecoder
+from .detok import TokenStreamDecoder, trim_garbage
 from .generate import generate, init_engine_and_tokenizer
+from .trie import optional_last_token_ids
 
 logger = logging.getLogger(__name__)
 
@@ -29,7 +40,9 @@ def get_data_package(request_dict: dict, default_random_seed: int) -> dict:
         if default is None and all(key not in p for p in prompt_dicts):
             return None
         if default is None and any(key not in p for p in prompt_dicts):
-            raise RuntimeError(f"default_value is None while {key} is also None.")
+            raise RuntimeError(
+                f"request field '{key}' has no default and some prompts omit it"
+            )
         return [p.get(key, default) for p in prompt_dicts]
 
     texts = []
@@ -42,6 +55,7 @@ def get_data_package(request_dict: dict, default_random_seed: int) -> dict:
         "output_len": request_dict["out_seq_length"],
         "beam_width": request_dict.get("beam_width", 1),
         "stop_words_list": gather("stop_words"),
+        "bad_words_list": gather("bad_words"),
         "last_token_list": gather("last_token"),
         "top_k": gather("top_k", 50),
         "top_p": gather("top_p", 0.0),
@@ -49,7 +63,14 @@ def get_data_package(request_dict: dict, default_random_seed: int) -> dict:
         "temperature": gather("temperature", 1.0),
         "len_penalty": gather("len_penalty", 0.0),
         "repetition_penalty": gather("repetition_penalty", 1.0),
+        # engine-supported superset of the reference's request schema
+        # (codefuse_example.py:779-812 stops at repetition_penalty): the
+        # BaseSamplingLayer penalty set the reference exposes only at the op
+        # level (presence_penalty, min_length) plus per-prompt bad_words
+        "presence_penalty": gather("presence_penalty", 0.0),
+        "min_length": gather("min_length", 0),
         "random_seed": gather("random_seed", default_random_seed),
+        "output_log_probs": bool(request_dict.get("output_log_probs", False)),
     }
 
 
@@ -72,10 +93,17 @@ class CodeFuseHandler:
         weight_bits: int = 8,
         group_size: int = 0,
         kv_cache_dtype: Optional[str] = None,
+        quantize_embeddings: Optional[bool] = None,
+        pool: Optional[dict] = None,
     ):
         """Pass ckpt/tokenizer paths (production) or prebuilt engine/tokenizer/
         trie (tests). ``on_stream_text(batch_idx, beam_idx, text)`` taps
-        streamed chunks; default prints batch 0 to stdout like the reference."""
+        streamed chunks; default prints batch 0 to stdout like the reference.
+
+        ``pool``: kwargs for engine.server.BatchingServer (e.g.
+        ``dict(max_slots=8, max_seq_len=2048)``) — enables continuous-batching
+        serving. Requests too long for the pool, beam requests, and
+        prompt-learning requests transparently use the static path."""
         if engine is None:
             engine, tokenizer, trie = init_engine_and_tokenizer(
                 ckpt_path,
@@ -88,17 +116,123 @@ class CodeFuseHandler:
                 weight_bits=weight_bits,
                 group_size=group_size,
                 kv_cache_dtype=kv_cache_dtype,
+                quantize_embeddings=quantize_embeddings,
             )
         self.engine = engine
         self.tokenizer = tokenizer
         self.trie = trie
         self.on_stream_text = on_stream_text
+        self.server = None
+        if pool is not None:
+            from ..engine.server import BatchingServer
+
+            pool = dict(pool)
+            # the response schema always carries cum_log_prob, so the pool
+            # must track per-token log-probs (reference return_cum_log_probs)
+            pool.setdefault("return_log_probs", True)
+            # trie extension lists (optional_last_tokens) can span hundreds of
+            # vocab entries; give the pool room unless the caller pinned it
+            pool.setdefault("optional_last_width", 512)
+            pool.setdefault("stop_words_width", 64)
+            pool.setdefault("bad_words_width", 64)
+            self.server = BatchingServer(engine, **pool)
         if warmup:
             generate(self.engine, self.tokenizer, ["demo"], 2, 1)
+            if self.server is not None:
+                self.server.generate(self.tokenizer.encode("demo"), 2)
 
     def _default_stream_sink(self, batch_idx: int, beam_idx: int, text: str):
         if batch_idx == 0 and beam_idx == 0:
             print(text, end="", flush=True)
+
+    # ------------------------------------------------------------- pooled ----
+    def _pool_routable(self, data_package: dict, prompts: List[List[int]]) -> bool:
+        """Whether every prompt of this request can ride the slot pool."""
+        if data_package["beam_width"] != 1:
+            return False
+        cap = self.server.batcher.sampling_cap
+        S = self.server.batcher.max_seq_len
+        out_len = data_package["output_len"]
+        for b, ids in enumerate(prompts):
+            if len(ids) + out_len > S or len(ids) == 0:
+                return False
+            tk = (data_package["top_k"] or [50])[b]
+            if not (1 <= tk <= cap):  # top_k=0 (pure top-p) needs the full sort
+                return False
+        return True
+
+    def _predict_pooled(self, dp: dict, use_callback: bool, prompts: List[List[int]]):
+        """Route one request's prompts through the continuous-batching pool.
+        Same sampling semantics/processor order as the static path (the pool's
+        step fn mirrors _sample_and_advance) and the same response schema."""
+        tok = self.tokenizer
+        end_id = self.engine.config.end_id
+        B = len(prompts)
+        sink = self.on_stream_text or self._default_stream_sink
+
+        def pick(key, default, b):
+            v = dp.get(key)
+            return default if v is None else v[b]
+
+        def word_ids(lists, b):
+            if lists is None or not lists[b]:
+                return None
+            return [list(tok.encode(w)) for w in lists[b]]
+
+        start = time.time()
+        uids = []
+        for b in range(B):
+            olt = None
+            lt = dp.get("last_token_list")
+            if lt is not None and lt[b]:
+                assert self.trie is not None, "trie is None, can't select last token"
+                olt = optional_last_token_ids(self.trie, lt[b], end_id)
+            uids.append(
+                self.server.submit(
+                    prompts[b],
+                    dp["output_len"],
+                    top_k=int(pick("top_k", 50, b)),
+                    top_p=float(pick("top_p", 0.0, b)),
+                    temperature=float(pick("temperature", 1.0, b)),
+                    repetition_penalty=float(pick("repetition_penalty", 1.0, b)),
+                    presence_penalty=float(pick("presence_penalty", 0.0, b)),
+                    min_length=int(pick("min_length", 0, b)),
+                    random_seed=int(pick("random_seed", 0, b)),
+                    stop_words=word_ids(dp.get("stop_words_list"), b),
+                    bad_words=word_ids(dp.get("bad_words_list"), b),
+                    optional_last_tokens=olt,
+                    on_text=(
+                        (lambda s, b=b: sink(b, 0, s)) if use_callback else None
+                    ),
+                    tokenizer=tok if use_callback else None,
+                )
+            )
+        results = [self.server.wait(u) for u in uids]
+        latency = time.time() - start
+
+        generated_code, lengths, cum_lps, step_lps = [], [], [], []
+        for b, r in enumerate(results):
+            gen = []
+            for t in r.output_ids[len(prompts[b]):]:
+                if t == end_id:
+                    break
+                gen.append(int(t))
+            generated_code.append([trim_garbage(tok.decode(gen))])
+            lengths.append([len(gen)])
+            cum_lps.append([r.cum_log_prob])
+            lp = list(r.step_log_probs or [])
+            step_lps.append([lp + [0.0] * (dp["output_len"] - len(lp))])
+
+        response = {
+            "latency": latency,
+            "random_seed": dp["random_seed"],
+            "generated_code": generated_code,
+            "length": lengths,
+            "cum_log_prob": cum_lps,
+        }
+        if dp["output_log_probs"]:
+            response["output_log_probs"] = step_lps
+        return response
 
     def predict(self, request_dict: dict, trace_id: str):
         logger.info("%s request: %s", trace_id, json.dumps(request_dict, ensure_ascii=False))
@@ -110,6 +244,17 @@ class CodeFuseHandler:
             batch_size = len(data_package["texts"])
             beam_width = data_package["beam_width"]
             random_seed = data_package["random_seed"]
+
+            if self.server is not None:
+                prompts = [list(self.tokenizer.encode(t)) for t in data_package["texts"]]
+                if self._pool_routable(data_package, prompts):
+                    response = self._predict_pooled(
+                        data_package, use_callback, prompts
+                    )
+                    response_str = json.dumps(response, ensure_ascii=False)
+                    logger.info("%s response (pooled): %s", trace_id, response_str)
+                    return (0, "ok", {"res": response_str})
+                logger.info("%s not pool-routable; using the static path", trace_id)
 
             callback = None
             decoders: List[List[TokenStreamDecoder]] = []
@@ -136,13 +281,16 @@ class CodeFuseHandler:
                     except BaseException as err:  # noqa: BLE001 — parity with reference
                         logger.error("callback error: %s", err)
 
-            result, lengths, cum_log_probs, latency = generate(
+            want_step_lp = data_package["output_log_probs"]
+            res = generate(
                 self.engine,
                 self.tokenizer,
                 trie=self.trie,
                 callback=callback,
                 **data_package,
             )
+            result, lengths, cum_log_probs, latency = res[:4]
+            step_log_probs = res[4] if want_step_lp else None
 
             if use_callback:
                 for b in range(batch_size):
@@ -156,6 +304,8 @@ class CodeFuseHandler:
                 "length": lengths,
                 "cum_log_prob": cum_log_probs,
             }
+            if want_step_lp:
+                response["output_log_probs"] = step_log_probs
             response_str = json.dumps(response, ensure_ascii=False)
             logger.info("%s response: %s", trace_id, response_str)
             return (0, "ok", {"res": response_str})

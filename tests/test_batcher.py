@@ -155,3 +155,81 @@ def test_streaming_tokens_via_on_token():
     done = cb.run(max_ticks=50)
     r = done[uid]
     assert got == r.output_ids[3:], (got, r.output_ids)
+
+
+def test_batching_server_interleaves_across_threads():
+    """engine/server.BatchingServer: requests submitted from different threads
+    share the pool; a short request submitted AFTER a long one completes first
+    (the capability the reference's static-batch engine lacks,
+    GptNeoX.cc:386-1052), and every output matches the one-shot engine."""
+    import threading
+    import time
+
+    from fastertransformer4codefuse_tpu.engine.server import BatchingServer
+
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+
+    # min_length pins generation lengths (no early end_id), so completion
+    # order is deterministic: short (3 ticks) beats long (40 ticks)
+    long_p, long_n = [3, 4, 5], 40
+    short_p, short_n = [9, 8, 7], 3
+    refs = {}
+    for name, p, n in (("long", long_p, long_n), ("short", short_p, short_n)):
+        o = eng.generate(
+            [p], output_len=n, top_k=1, min_length=n, return_cum_log_probs=True
+        )
+        m = int(o.sequence_lengths[0, 0])
+        refs[name] = (
+            [int(x) for x in o.output_ids[0, 0, :m]],
+            float(o.cum_log_probs[0, 0]),
+        )
+
+    srv = BatchingServer(
+        eng, max_slots=2, max_seq_len=64, prompt_bucket=8, return_log_probs=True
+    )
+    try:
+        completion_order = []
+
+        def run(name, p, n):
+            r = srv.generate(p, n, top_k=1, min_length=n)
+            completion_order.append((name, r))
+
+        t_long = threading.Thread(target=run, args=("long", long_p, long_n))
+        t_long.start()
+        time.sleep(0.01)  # long submits first; both share the pool at once
+        t_short = threading.Thread(target=run, args=("short", short_p, short_n))
+        t_short.start()
+        t_long.join(120)
+        t_short.join(120)
+
+        assert completion_order[0][0] == "short", [n for n, _ in completion_order]
+        for name, r in completion_order:
+            ref_ids, ref_cum = refs[name]
+            assert r.output_ids == ref_ids, (name, r.output_ids, ref_ids)
+            np.testing.assert_allclose(r.cum_log_prob, ref_cum, atol=1e-3)
+            # per-step log-probs sum to the cumulative (reference invariant)
+            np.testing.assert_allclose(
+                sum(r.step_log_probs), r.cum_log_prob, atol=1e-5
+            )
+    finally:
+        srv.close()
+
+
+def test_batching_server_rejects_oversize_and_survives():
+    from fastertransformer4codefuse_tpu.engine.server import BatchingServer
+
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    srv = BatchingServer(eng, max_slots=2, max_seq_len=16, prompt_bucket=8)
+    try:
+        import pytest
+
+        with pytest.raises(ValueError):
+            srv.submit(list(range(2, 20)), 8, top_k=1)
+        r = srv.generate([3, 4, 5], 4, top_k=1)  # pool still healthy
+        assert r.done and len(r.output_ids) >= 4
+    finally:
+        srv.close()
