@@ -281,6 +281,12 @@ class ContinuousBatcher:
     def _get_step_fn(self):
         if self._step_fn is not None:
             return self._step_fn
+        self._step_fn = jax.jit(self._build_step(), donate_argnums=(1,))
+        return self._step_fn
+
+    def _build_step(self):
+        """The raw (unjitted) tick closure — exposed so callers can compile it
+        with custom layout/format options (tools/pool_layout_probe.py)."""
         cfg = self.cfg
         end_id = cfg.end_id
         B, S = self.max_slots, self.max_seq_len
@@ -348,8 +354,7 @@ class ContinuousBatcher:
             st["steps"] = state["steps"] + jnp.where(ready, 1, 0)
             return st, tok, lp, finished, ready
 
-        self._step_fn = jax.jit(step, donate_argnums=(1,))
-        return self._step_fn
+        return step
 
     def step(self) -> List[Tuple[int, int, bool]]:
         """Admit pending requests into free slots, advance chunked prefills by

@@ -73,11 +73,13 @@ def main():
         f()
         return time.perf_counter() - t0
 
-    t_batch = steptime(4, top_k=4)
-    print(f"batch-4 sampling step: {t_batch*1e3:.2f} ms")
-    t_beam = steptime(1, beam_width=4)
-    print(f"beam-4 step:           {t_beam*1e3:.2f} ms  "
-          f"({(t_beam/t_batch-1)*100:+.0f}% vs batch-4)")
+    for bw in (2, 4):
+        t_batch = steptime(bw, top_k=4)
+        print(f"batch-{bw} sampling step: {t_batch*1e3:.2f} ms "
+              f"({bw/t_batch:.1f} tok/s agg)", flush=True)
+        t_beam = steptime(1, beam_width=bw)
+        print(f"beam-{bw} step:           {t_beam*1e3:.2f} ms  "
+              f"({(t_beam/t_batch-1)*100:+.0f}% vs batch-{bw})", flush=True)
 
 
 if __name__ == "__main__":
