@@ -101,8 +101,12 @@ class ContinuousBatcher:
         optional_last_width: int = 8,
         sampling_cap: int = 64,
         return_log_probs: bool = False,
+        flash_decode: str = "on",  # | "off" ("pinned" = legacy alias of on)
     ):
         assert max_seq_len % prompt_bucket == 0, "max_seq_len must be a multiple of prompt_bucket"
+        if flash_decode == "pinned":
+            flash_decode = "on"
+        assert flash_decode in ("off", "on")
         self.engine = engine
         self.cfg = engine.config
         self.max_slots = max_slots
@@ -123,6 +127,21 @@ class ContinuousBatcher:
         self._admit_fn = None
         self._chunk_fn = None
         self._step_fn = None
+        # "on" (default): the Pallas flash-decode kernel stays enabled
+        # inside the per-tick step program, so the pool gets
+        # length-proportional cache reads like the reference decode kernel
+        # (the ti<tlength loop of decoder_masked_multihead_attention) —
+        # measured 50.7 vs 70.0 ms/tick for the XLA full-slab path at 13B
+        # B=8/S=1024 (tools/pool_layout_probe.py). The r3 regression that
+        # forced the kernel off ("flash_decode_disabled", 4.4x slower ticks)
+        # was root-caused to write_decode's preserve-mode gather — its XLA
+        # lowering wants the slabs position-major while the Pallas kernel
+        # demands canonical operands, so the per-tick program re-laid-out
+        # both full K/V slabs EVERY LAYER. The pool now uses the
+        # layout-neutral "sacrifice_last" skip writes, which removes every
+        # layout conflict (see kv_cache.write_decode). kv_cache's own
+        # S/dh gates still route tiny caches to the XLA path.
+        self.flash_decode = flash_decode
         self._state = self._init_state()
 
     # ------------------------------------------------------------ state ----
@@ -301,6 +320,10 @@ class ContinuousBatcher:
             hidden, cache = model.decode_step(
                 cfg, params, newest, jnp.where(ready, positions, 0),
                 state["cache"], kv_skip=~ready,
+                # layout-neutral skip: preserve-mode's gather wants the slabs
+                # position-major and costs 2 full-slab copies per LAYER in
+                # this per-tick program (kv_cache.write_decode docstring)
+                kv_skip_mode="sacrifice_last",
             )
             logits = model.lm_logits(cfg, params, hidden)
 
@@ -376,16 +399,25 @@ class ContinuousBatcher:
                 if r._chunks_left > 0:
                     r._chunks_left -= 1
 
-        # flash decode is trace-time-gated OFF for the pool: its cache crosses
-        # the jit boundary every tick and the flash kernel's preferred layout
-        # would force full-slab relayout copies per layer (see
-        # kv_cache.flash_decode_disabled; measured 255 -> 58 ms/tick at B=8)
-        from . import kv_cache as _kvc
-
-        with _kvc.flash_decode_disabled():
+        if self.flash_decode == "on":
+            # flash kernel stays ON — the pool's sacrifice-last skip writes
+            # leave no op with a non-canonical layout preference, so the
+            # per-tick program runs copy-free (see __init__ notes)
             self._state, tok, lp, finished, ready = self._get_step_fn()(
                 self.engine.params, state
             )
+        else:
+            # default: flash trace-time-gated OFF for the pool — with the
+            # state in canonical boundary layout the kernel's preferred
+            # layout would cost 2 full-slab transposes per tick (see
+            # kv_cache.flash_decode_disabled; measured 255 -> 58 ms/tick at
+            # B=8 in r3)
+            from . import kv_cache as _kvc
+
+            with _kvc.flash_decode_disabled():
+                self._state, tok, lp, finished, ready = self._get_step_fn()(
+                    self.engine.params, state
+                )
         tok_h, lp_h, fin_h, ready_h = jax.device_get((tok, lp, finished, ready))
 
         emitted = []

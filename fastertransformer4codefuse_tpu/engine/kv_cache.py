@@ -235,20 +235,41 @@ def _read_rows(slab: jax.Array, layer, positions: jax.Array) -> jax.Array:
 
 def write_decode(
     cache: Cache, layer, k: jax.Array, v: jax.Array, positions: jax.Array,
-    skip=None,
+    skip=None, skip_mode: str = "preserve",
 ) -> Cache:
     """Write one token per row into layer ``layer`` (k, v: [B, 1, nH, dh]).
 
-    ``skip`` [B] bool: rows whose existing cache entry must be PRESERVED —
-    under beam-search cache indirection a finished row's slot may be
-    referenced by other beams through the indirection table, so its per-step
-    redundant rewrite must not change the stored bytes (the reference never
-    faces this: its finished rows simply stop stepping, GptNeoX.cc:1031-1033)."""
+    ``skip`` [B] bool marks rows whose write must not disturb readable cache
+    state. Two mechanisms:
+
+    - ``skip_mode="preserve"`` (beam search): the row's bytes at ``positions``
+      are kept EXACTLY — under cache indirection a finished row's slots may be
+      referenced by other beams, including its own current position (the
+      reference never faces this: its finished rows stop stepping,
+      GptNeoX.cc:1031-1033). Costs a read-modify-write gather; fine inside a
+      one-shot program where the cache never crosses a jit boundary.
+    - ``skip_mode="sacrifice_last"`` (continuous batcher): skipped rows write
+      their garbage to slot S-1 instead. Safe for the pool because every slot
+      is rewritten by its OWNING row before it first becomes attention-valid
+      (decode writes position p before attending over it; chunk prefill writes
+      [pos, pos+C) before those become valid), and crucially LAYOUT-NEUTRAL:
+      the preserve gather's XLA lowering wants the slab position-major, which
+      in the pool's per-tick program materialized as two full-slab relayout
+      copies per LAYER (profiled 2 x 206 ms/tick at 13B B=8/S=1024 — the real
+      cause of the r3 "flash decode in the pool" regression; the Pallas flash
+      kernel itself demands canonical operands)."""
     kt = k[:, 0]  # [B, nH, dh]
     vt = v[:, 0]
     out = dict(cache)
+    if skip is not None and skip_mode == "sacrifice_last":
+        positions = jnp.where(skip, seq_len_of(cache) - 1, positions)
+        skip = None  # plain positional writes from here on
+
+    def upd(slab, new):
+        return _row_update(slab, layer, new.astype(slab.dtype), positions)
 
     def keep(new, slab):
+        # "preserve" only (the packed-w4 path read-modify-writes anyway)
         if skip is None:
             return new
         old = _read_rows(slab, layer, positions).astype(new.dtype)
@@ -278,18 +299,13 @@ def write_decode(
                 w4(name, t)
             else:
                 q, s = _quantize_vec(t)
-                out[name] = _row_update(
-                    cache[name], layer, keep(q, cache[name]), positions
-                )
-                out[name + "_s"] = _row_update(
-                    cache[name + "_s"], layer, keep(s, cache[name + "_s"]),
-                    positions,
+                out[name] = upd(cache[name], keep(q, cache[name]))
+                out[name + "_s"] = upd(
+                    cache[name + "_s"], keep(s, cache[name + "_s"])
                 )
     else:
-        kt = kt.astype(cache["k"].dtype)
-        vt = vt.astype(cache["v"].dtype)
-        out["k"] = _row_update(cache["k"], layer, keep(kt, cache["k"]), positions)
-        out["v"] = _row_update(cache["v"], layer, keep(vt, cache["v"]), positions)
+        out["k"] = upd(cache["k"], keep(kt, cache["k"]))
+        out["v"] = upd(cache["v"], keep(vt, cache["v"]))
     return out
 
 

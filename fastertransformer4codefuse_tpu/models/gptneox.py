@@ -263,7 +263,8 @@ def block_decode(
     positions: jax.Array,  # [B] int32: slot of each row's new token
     valid: jax.Array,  # [B, S_max] — cache slots that participate
     beam=None,  # (beam_width, indirection [B, S_max]) — fixed-cache beam search
-    kv_skip=None,  # [B] bool — preserve these rows' cache entries (beam mode)
+    kv_skip=None,  # [B] bool — rows whose write must not disturb readable state
+    kv_skip_mode: str = "preserve",  # | "sacrifice_last" (kv_cache.write_decode)
 ):
     B, S, H = x.shape
     nH, dh = config.head_num, config.size_per_head
@@ -273,7 +274,9 @@ def block_decode(
     ln1 = _norm(config, x, lp["ln1_w"], lp.get("ln1_b"))
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, 1, nH, dh]
 
-    cache = kvc.write_decode(cache, layer, k, v, positions, skip=kv_skip)
+    cache = kvc.write_decode(
+        cache, layer, k, v, positions, skip=kv_skip, skip_mode=kv_skip_mode
+    )
 
     attn = kvc.attend_decode(
         cache, layer, q[:, 0], valid, sm_scale, positions, beam=beam
@@ -489,6 +492,7 @@ def decode_step(
     rotary_tables: Optional[Tuple[jax.Array, jax.Array]] = None,
     beam=None,
     kv_skip=None,
+    kv_skip_mode: str = "preserve",
 ) -> Tuple[jax.Array, KVCache]:
     """One incremental decode step. Returns (hidden [B, H], updated cache)."""
     B = tokens.shape[0]
@@ -506,7 +510,8 @@ def decode_step(
     valid = make_decode_valid(positions, cache_len)
 
     fn = lambda lp, x, c, l: block_decode(
-        config, lp, x, c, l, cos, sin, positions, valid, beam=beam, kv_skip=kv_skip
+        config, lp, x, c, l, cos, sin, positions, valid, beam=beam,
+        kv_skip=kv_skip, kv_skip_mode=kv_skip_mode,
     )
     x, cache = _scan_layers(
         config, params, x, cache, fn, extra=_decode_bias_views(params["layers"])

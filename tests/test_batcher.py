@@ -233,3 +233,32 @@ def test_batching_server_rejects_oversize_and_survives():
         assert r.done and len(r.output_ids) >= 4
     finally:
         srv.close()
+
+
+def test_continuous_batching_flash_mode_matches_oneshot():
+    """flash_decode="on" (sacrifice-last skip writes; flash kernel enabled on
+    TPU) must be output-identical to the default path — on CPU the flash
+    kernel itself is gated off, but the sacrifice-last write path (the part
+    with correctness risk: skipped rows write garbage to slot S-1, which must
+    always be rewritten before becoming attention-valid) fully executes."""
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+
+    prompts = [[3, 4, 5], [9, 8, 7, 6, 5], [11, 12]]
+    out_lens = [5, 4, 6]
+    refs = []
+    for p, ol in zip(prompts, out_lens):
+        o = eng.generate([p], output_len=ol, top_k=1)
+        n = int(o.sequence_lengths[0, 0])
+        refs.append([int(x) for x in o.output_ids[0, 0, :n]])
+
+    cb = ContinuousBatcher(
+        eng, max_slots=2, max_seq_len=32, prompt_bucket=8,
+        flash_decode="on",
+    )
+    uids = [cb.submit(p, ol, top_k=1) for p, ol in zip(prompts, out_lens)]
+    done = cb.run(max_ticks=200)
+    for uid, ref in zip(uids, refs):
+        r = done[uid]
+        assert r.done and r.output_ids == ref, (uid, r.output_ids, ref)

@@ -1,21 +1,23 @@
-"""Probe: flash decode inside the continuous batcher via layout pinning.
+"""Probe: flash decode inside the continuous batcher — regression post-mortem.
 
 Round-3 finding (kv_cache.flash_decode_disabled): enabling the Pallas flash
-decode kernel in the pool's per-tick step program cost 2x ~100ms of full-slab
-relayout copies per tick at B=8/S=512 — the state pytree crosses the jit
-boundary every tick in the CANONICAL layout (it was created by jnp.zeros and
-donation pins output layout == input layout), so XLA transposes the K and V
-slabs into the kernel's preferred layout and back EVERY tick.
+decode kernel in the pool's per-tick step program cost 2 x ~200ms of
+full-slab relayout copies per tick at 13B B=8/S=1024.
 
-Hypothesis: compile the tick with AUTO in/out layouts (jax.experimental.layout
-Format(Layout.AUTO)) and device_put the state into the compiled program's
-chosen input layouts ONCE — the cache then LIVES in the kernel-preferred
-layout across ticks and the per-tick copies disappear, giving the pool the
-length-proportional cache reads of the flash kernel (the reference decode
-kernel's ti<tlength behavior) at long S.
+Root cause (found via HLO consumer tracing, NOT the boundary-layout
+hypothesis): write_decode's preserve-mode skip (kv_skip) read-modify-writes
+via a per-row GATHER whose XLA lowering wants the slabs in position-major
+layout ({4,2,3,1,0}), while the Pallas kernel demands canonical operands.
+Layout assignment satisfied one of them and re-laid-out both full K/V slabs
+every LAYER for the other — regardless of entry-layout pinning (AUTO formats
+and explicit Format pinning were both tried; the scan-carry layout decision
+is internal). Fix: the pool's skip writes use the layout-neutral
+"sacrifice_last" mode (skipped rows write slot S-1, which is always
+rewritten by its owning row before becoming attention-valid), leaving no op
+with a non-canonical preference.
 
-Measures ms/tick for:  (a) XLA attend path (today's default),
-(b) flash kernel naive (the r3 regression), (c) flash kernel + AUTO layouts.
+Measured (13B, B=8, S=1024, v5e): a) xla-attend 70.0 ms/tick,
+b/c) flash 50.7 ms/tick = 1.38x — flash_decode="on" is the pool default.
 
 Run on the real chip:  python tools/pool_layout_probe.py --slots 8 --seq 1024
 """
@@ -39,7 +41,25 @@ def main():
     ap.add_argument("--ticks", type=int, default=30)
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--group", type=int, default=128)
+    ap.add_argument("--case", default="",
+                    help="run one case (a|b|c) in-process; default spawns a "
+                    "subprocess per case (engines do not reliably free HBM "
+                    "within one TPU process)")
     args = ap.parse_args()
+
+    if not args.case:
+        import subprocess
+        for case in "abc":
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--case", case]
+                + [a for a in sys.argv[1:]],
+                capture_output=True, text=True, timeout=3000,
+            )
+            out = (r.stdout or "").strip()
+            print(out or f"# case {case} failed:\n"
+                  + "\n".join((r.stderr or "").strip().splitlines()[-12:]),
+                  flush=True)
+        return
 
     import jax
     from jax.experimental.layout import Format, Layout
@@ -67,9 +87,10 @@ def main():
                       seq_bucket=128),
     )
 
-    def fresh_pool():
+    def fresh_pool(**kw):
         cb = ContinuousBatcher(
-            eng, max_slots=args.slots, max_seq_len=args.seq, prompt_bucket=128
+            eng, max_slots=args.slots, max_seq_len=args.seq, prompt_bucket=128,
+            **kw,
         )
         rng = np.random.default_rng(0)
         for _ in range(args.slots):
@@ -92,12 +113,6 @@ def main():
               f"({args.slots * 1000 / dt:.0f} tok/s aggregate)", flush=True)
         return dt
 
-    # (a) today's default: flash gated OFF inside the pool
-    cb = fresh_pool()
-    a = time_ticks(cb, "a) xla-attend (default)")
-    del cb
-
-    # (b) flash kernel with the plain per-tick jit (the r3 regression)
     import contextlib
 
     @contextlib.contextmanager
@@ -117,34 +132,22 @@ def main():
             kvc._FLASH_DECODE = old
             kvc.flash_decode_disabled = orig
 
-    with flash_forced():
+    if args.case == "a":
+        # today's default: flash gated OFF inside the pool
         cb = fresh_pool()
-        b = time_ticks(cb, "b) flash naive (canonical boundary layout)")
-        del cb
-
-    # (c) flash kernel + AUTO layouts: compile the step with auto in/out
-    # formats, move the state into the chosen input layout once, tick.
-    with flash_forced():
-        cb = fresh_pool()
-        state = cb._state
-        auto = Format(Layout.AUTO)
-        jitted = jax.jit(
-            cb._build_step(), donate_argnums=(1,),
-            in_shardings=(None, jax.tree.map(lambda _: auto, state)),
-        )
-        compiled = jitted.lower(eng.params, state).compile()
-        try:
-            in_fmts = compiled.input_formats  # matches the arg pytrees
-        except AttributeError:
-            in_fmts = compiled.input_layouts
-        state_fmts = in_fmts[1]
-        print("   cache k layout chosen:", state_fmts["cache"]["k"], flush=True)
-        cb._state = jax.tree.map(jax.device_put, state, state_fmts)
-        cb._step_fn = lambda params, st: compiled(params, st)
-        c = time_ticks(cb, "c) flash + AUTO layouts (pinned)")
-        del cb
-
-    print(f"\nsummary: xla={a:.1f}  flash-naive={b:.1f}  flash-pinned={c:.1f} ms/tick")
+        time_ticks(cb, "a) xla-attend (default)")
+    elif args.case == "b":
+        # flash kernel with the plain per-tick jit (the r3 regression)
+        with flash_forced():
+            cb = fresh_pool()
+            time_ticks(cb, "b) flash naive (canonical boundary layout)")
+    else:
+        # flash kernel + the production "on" pool mode: layout-neutral
+        # sacrifice-last skip writes (kv_cache.write_decode) remove the
+        # preserve-gather's position-major preference, so the canonical-
+        # layout Pallas kernel runs copy-free
+        cb = fresh_pool(flash_decode="on")
+        time_ticks(cb, "c) flash + sacrifice-last writes (production)")
 
 
 if __name__ == "__main__":
