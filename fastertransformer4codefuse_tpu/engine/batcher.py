@@ -107,6 +107,15 @@ class ContinuousBatcher:
         if flash_decode == "pinned":
             flash_decode = "on"
         assert flash_decode in ("off", "on")
+        from .kv_cache import _SCATTER_MIN_B
+
+        if flash_decode == "on" and max_slots > _SCATTER_MIN_B:
+            # wide pools write the cache via the batched scatter (the
+            # unrolled-DUS path's program size scales with B), and the
+            # scatter's position-major layout preference re-raises the
+            # relayout conflict with the canonical-layout flash kernel —
+            # wide short-seq pools run the XLA attend path instead
+            flash_decode = "off"
         self.engine = engine
         self.cfg = engine.config
         self.max_slots = max_slots
