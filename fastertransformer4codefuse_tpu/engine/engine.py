@@ -348,8 +348,17 @@ class GptNeoXEngine:
 
         With ``beam_width > 1`` the KV cache is FIXED and attention resolves
         ``s.beam_indir`` (the reference's cache_indirection scheme,
-        GptNeoX.cc:776-778, 1011-1017); finished rows' redundant rewrites are
-        masked so other beams' indirected reads stay intact.
+        GptNeoX.cc:776-778, 1011-1017). Finished rows' rewrites are
+        redirected to slot S-1 (``sacrifice_last``): after a reorder the
+        hypothesis occupying slot r differs from the lineage that wrote row
+        r's slab, so writing at the frozen position would clobber bytes other
+        beams still reference through the indirection (the teacher-forced
+        rescoring test catches exactly this). S-1 is safe: sacrifice writes
+        are row-local, and any hypothesis that reaches position S-1 writes it
+        itself in the same layer step BEFORE attending over it — while the
+        byte-exact "preserve" alternative's read-modify-write gather prefers
+        the slabs position-major and fights the canonical-operand Pallas beam
+        kernel (measured 131 vs 13 ms/step of per-layer full-slab relayouts).
         """
         cfg = self.config
         B, T = s.tokens.shape
@@ -365,12 +374,13 @@ class GptNeoXEngine:
             M = self.runtime.pp_microbatches
             hidden, cache = pipeline.decode_step(
                 cfg, self.mesh, params, newest, positions, s.cache,
-                beam=beam, kv_skip=kv_skip,
+                beam=beam, kv_skip=kv_skip, kv_skip_mode="sacrifice_last",
                 microbatches=M if B % max(M, 1) == 0 else 1,
             )
         else:
             hidden, cache = model.decode_step(
-                cfg, params, newest, positions, s.cache, beam=beam, kv_skip=kv_skip
+                cfg, params, newest, positions, s.cache, beam=beam,
+                kv_skip=kv_skip, kv_skip_mode="sacrifice_last",
             )
         logits = model.lm_logits(cfg, params, hidden)
         return s._replace(logits=logits, cache=cache)

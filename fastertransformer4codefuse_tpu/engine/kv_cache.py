@@ -228,9 +228,31 @@ def _row_update(slab: jax.Array, layer, new: jax.Array, positions: jax.Array):
 
 
 def _read_rows(slab: jax.Array, layer, positions: jax.Array) -> jax.Array:
-    """slab[layer, b, :, positions[b]] -> [B, nH] or [B, nH, dh] (one gather)."""
+    """slab[layer, b, :, positions[b]] -> [B, nH] or [B, nH, dh].
+
+    Unrolled per-row dynamic slices, NOT an advanced-indexing gather: the
+    gather's XLA lowering prefers the slab position-major, and in a program
+    that also runs a (canonical-operand) Pallas kernel that preference
+    materializes as two full-slab relayout copies per LAYER (measured 131 vs
+    16 ms/step on the 13B beam-2 path when the grouped flash-beam kernel
+    landed). Dynamic slices are layout-agnostic."""
     B = positions.shape[0]
-    return slab[layer, jnp.arange(B), :, positions]
+    if B > _SCATTER_MIN_B * 2:  # very wide: keep the single-gather form
+        return slab[layer, jnp.arange(B), :, positions]
+    rows = []
+    for b in range(B):
+        if slab.ndim == 4:  # scale slab [L, B, nH, S] -> [nH]
+            r = jax.lax.dynamic_slice(
+                slab, (layer, b, 0, positions[b]), (1, 1, slab.shape[2], 1)
+            )[0, 0, :, 0]
+        else:  # value slab [L, B, nH, S, dh] -> [nH, dh]
+            r = jax.lax.dynamic_slice(
+                slab,
+                (layer, b, 0, positions[b], 0),
+                (1, 1, slab.shape[2], 1, slab.shape[4]),
+            )[0, 0, :, 0, :]
+        rows.append(r)
+    return jnp.stack(rows)
 
 
 def write_decode(
@@ -476,6 +498,7 @@ def attend_decode_beam(
     sm_scale: float,
     indir: jax.Array,  # [BB, S] int32 in [0, bw)
     bw: int,
+    positions=None,  # [BB] newest-token slots (enables the Pallas kernel)
 ) -> jax.Array:
     """Beam decode attention over a FIXED cache with per-position indirection.
 
@@ -495,7 +518,31 @@ def attend_decode_beam(
     extra einsum axis, so the cache bytes are still read once per beam group —
     the reference decode kernel's head-grouping + cache_indir combination
     (decoder_masked_multihead_attention_template.hpp head_num/kv_head_num).
+
+    At kernel-eligible shapes (MHA, dh 128/256, long unpacked caches) the
+    Pallas grouped-beam kernel takes over: same per-group single read of the
+    cache bytes, but with in-kernel indirection selects, online softmax, and
+    length-proportional chunk streaming (ops/flash_decode.py
+    flash_decode_beam_stacked — the cache_indir analog of the reference's
+    decoder_masked_multihead_attention).
     """
+    nH_q, dh_q = q.shape[1], q.shape[2]
+    nKV_c = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
+    if (
+        _FLASH_DECODE
+        and positions is not None
+        and nH_q == nKV_c
+        and dh_q in (128, 256)
+        and not (packed4(cache, "k") or packed4(cache, "v"))
+        and seq_len_of(cache) >= _FLASH_MIN_S[quantized(cache)]
+        and bw <= 8
+    ):
+        from ..ops.flash_decode import flash_decode_beam_stacked
+
+        return flash_decode_beam_stacked(
+            q, cache["k"], cache.get("k_s"), cache["v"], cache.get("v_s"),
+            layer, positions, indir, bw, sm_scale=sm_scale,
+        )
     cache_l = _unpack_layer({
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
         for k, v in cache.items()
@@ -559,7 +606,9 @@ def attend_decode(
     nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
     if beam is not None:
         bw, indir = beam
-        return attend_decode_beam(cache, layer, q, valid, sm_scale, indir, bw)
+        return attend_decode_beam(
+            cache, layer, q, valid, sm_scale, indir, bw, positions=positions
+        )
     if q.shape[1] != nKV:
         # GQA: fold the query group into attend_chunk's query axis
         B, nH = q.shape[0], q.shape[1]

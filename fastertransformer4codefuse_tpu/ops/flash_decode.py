@@ -112,6 +112,225 @@ def _kernel(
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
 
+def _beam_kernel(
+    scalars_ref, q_ref, ind_ref, k_ref, *rest,
+    sm_scale, bs, n_s, hb, bw, has_scale,
+):
+    """Grouped beam decode chunk: loads ALL bw physical rows' K/V tiles for
+    one beam group and resolves the cache indirection in-register — each
+    cache byte is read ONCE per group (like attend_decode_beam's all-pairs
+    formulation, but fused with the online softmax and streaming
+    length-proportional chunks like the plain decode kernel)."""
+    if has_scale:
+        ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        v_ref, o_ref, m_ref, l_ref, acc_ref = rest
+
+    g = pl.program_id(0)
+    s_idx = pl.program_id(2)
+    # per-row newest-token slots for this group: scalars[1 + g*bw + j]
+    R = bw * hb  # flattened (j, h) rows
+
+    @pl.when(s_idx == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, MASK_VALUE)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    group_max = scalars_ref[1 + g * bw]
+    for j in range(1, bw):
+        group_max = jnp.maximum(group_max, scalars_ref[1 + g * bw + j])
+
+    @pl.when(s_idx * bs <= group_max)
+    def _compute():
+        qb = q_ref[0].astype(jnp.bfloat16)  # [bw, hb, dh]
+        qh = qb.transpose(1, 0, 2)  # [hb, bw, dh]
+        ind = ind_ref[0]  # [bw, bs] int32 physical row per (beam, position)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bw, bs), 1) + s_idx * bs
+
+        # selected scores [hb, bw, bs]: unrolled over the bw physical rows,
+        # one-hot indirection select per (beam, position) in-register
+        sel_scores = jnp.zeros((hb, bw, bs), jnp.float32)
+        for c in range(bw):
+            kc = k_ref[0, 0, c].astype(jnp.bfloat16)  # [hb, bs, dh]
+            sc = jax.lax.dot_general(
+                qh, kc, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hb, bw, bs]
+            if has_scale:
+                sc = sc * ks_ref[0, 0, c].astype(jnp.float32)[:, None, :]
+            sel_scores = sel_scores + jnp.where(
+                (ind == c)[None, :, :], sc, 0.0
+            )
+
+        # per-beam causal bound: valid[j, s] = s <= positions[group*bw + j]
+        rowj = jax.lax.broadcasted_iota(jnp.int32, (bw, bs), 0)
+        bound = jnp.zeros((bw, bs), jnp.int32)
+        for j in range(bw):
+            bound = jnp.where(rowj == j, scalars_ref[1 + g * bw + j], bound)
+        valid = col <= bound
+        scores = jnp.where(
+            valid[None, :, :], sel_scores * sm_scale, MASK_VALUE
+        ).reshape(R, bs)  # rows = (h, j)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(scores - m_new)  # [R, bs]
+        # a row whose chunk lies wholly past ITS OWN position (the group
+        # bound admits the chunk when ANY row still has data) has every score
+        # at MASK_VALUE, making p = exp(0) = 1 — re-mask so such rows
+        # contribute nothing to l/acc (and 0*NaN scale tails stay out)
+        p = jnp.where(
+            jnp.broadcast_to(valid[None, :, :], (hb, bw, bs)).reshape(R, bs),
+            p, 0.0,
+        )
+
+        ph = p.reshape(hb, bw, bs)
+        pv = jnp.zeros((hb, bw, acc_ref.shape[-1]), jnp.float32)
+        for c in range(bw):
+            sel = (ind == c)[None, :, :] & valid[None, :, :]
+            if has_scale:
+                # mask AFTER the scale multiply: OOB scale tails can be NaN
+                pc = jnp.where(
+                    sel, ph * vs_ref[0, 0, c].astype(jnp.float32)[:, None, :],
+                    0.0,
+                )
+            else:
+                pc = jnp.where(sel, ph, 0.0)
+            vc = v_ref[0, 0, c].astype(jnp.bfloat16)  # [hb, bs, dh]
+            if not has_scale:
+                # float caches: unwritten tail can hold NaN bit patterns and
+                # 0 * NaN = NaN inside the dot — zero the tail rows
+                tail = jax.lax.broadcasted_iota(jnp.int32, (1, bs, 1), 1)
+                vc = jnp.where(tail + s_idx * bs <= group_max, vc, 0.0)
+            pv = pv + jax.lax.dot_general(
+                pc.astype(jnp.bfloat16), vc, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [hb, bw, dh]
+
+        acc_ref[...] = alpha * acc_ref[...] + pv.reshape(R, -1)
+        m_ref[:, :1] = m_new
+        l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+
+    @pl.when(s_idx == n_s - 1)
+    def _done():
+        denom = jnp.maximum(l_ref[:, :1], 1e-20)
+        out = (acc_ref[...] / denom).reshape(hb, bw, -1).transpose(1, 0, 2)
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bw", "sm_scale", "hb", "bs", "interpret")
+)
+def flash_decode_beam_stacked(
+    q: jax.Array,  # [BB, nH, dh] bf16 (BB = B * bw, beam-minor rows)
+    k_all: jax.Array,  # [L, BB, nH, S, dh] int8 or float
+    ks_all,  # [L, BB, nH, S] scales or None
+    v_all: jax.Array,
+    vs_all,
+    layer: jax.Array,
+    positions: jax.Array,  # [BB] newest-token slot per row
+    indir: jax.Array,  # [BB, S] int32 in [0, bw) — cache indirection
+    bw: int,
+    sm_scale: float,
+    hb: int = 40,
+    bs: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Beam decode attention with IN-KERNEL cache indirection — the analog of
+    the reference decode kernel's cache_indir parameter
+    (decoder_masked_multihead_attention.h): each beam group's bw physical
+    rows stream through VMEM once per chunk; per-position one-hot selects
+    resolve which row belongs to each target beam. Streams only
+    ceil(max_group_pos/bs) chunks (length-proportional reads) vs the XLA
+    all-pairs path's full-allocation reads."""
+    BB, nH, dh = q.shape
+    B = BB // bw
+    has_scale = ks_all is not None
+    L, _, _, S, _ = k_all.shape
+    hb = next(d for d in range(min(hb, nH), 0, -1) if nH % d == 0)
+    # VMEM guard: bw rows of K+V (+scales) double-buffered within ~12MB
+    kv_bytes = 2 * k_all.dtype.itemsize
+    while bw * hb * bs * (dh * kv_bytes + 4 * has_scale) * 2 > 12 * 1024 * 1024:
+        if bs > 128:
+            bs //= 2
+        else:
+            hb = next(d for d in range(hb - 1, 0, -1) if nH % d == 0)
+    n_s = -(-S // bs)
+    scalars = jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), positions.astype(jnp.int32)]
+    )
+
+    qg = q.reshape(B, bw, nH, dh)
+    indg = indir.reshape(B, bw, S)
+    kg = k_all.reshape(L, B, bw, nH, S, dh)
+    vg = v_all.reshape(L, B, bw, nH, S, dh)
+
+    def _clamp(g, s, sr):
+        m = sr[1 + g * bw]
+        for j in range(1, bw):
+            m = jnp.maximum(m, sr[1 + g * bw + j])
+        return jnp.minimum(s, m // bs)
+
+    kv_spec = pl.BlockSpec(
+        (1, 1, bw, hb, bs, dh),
+        lambda g, h, s, sr: (sr[0], g, 0, h, _clamp(g, s, sr), 0),
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, bw, hb, bs),
+        lambda g, h, s, sr: (sr[0], g, 0, h, _clamp(g, s, sr)),
+    )
+    in_specs = [
+        pl.BlockSpec((1, bw, hb, dh), lambda g, h, s, sr: (g, 0, h, 0)),
+        pl.BlockSpec(
+            (1, bw, bs), lambda g, h, s, sr: (g, 0, _clamp(g, s, sr))
+        ),
+        kv_spec,
+    ]
+    operands = [qg, indg, kg]
+    if has_scale:
+        ksg = ks_all.reshape(L, B, bw, nH, S)
+        vsg = vs_all.reshape(L, B, bw, nH, S)
+        in_specs += [sc_spec, kv_spec, sc_spec]
+        operands += [ksg, vg, vsg]
+    else:
+        in_specs += [kv_spec]
+        operands += [vg]
+    R = bw * hb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nH // hb, n_s),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, bw, hb, dh), lambda g, h, s, sr: (g, 0, h, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _beam_kernel, sm_scale=sm_scale, bs=bs, n_s=n_s, hb=hb, bw=bw,
+            has_scale=has_scale,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, bw, nH, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BB * bw * nH * S * dh,
+            bytes_accessed=2 * BB * nH * S * dh * k_all.dtype.itemsize,
+            transcendentals=BB * nH * S,
+        ),
+        interpret=interpret,
+    )(scalars, *operands)
+    return out.reshape(BB, nH, dh)
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "hb", "bs", "interpret"))
 def flash_decode_stacked(
     q: jax.Array,  # [B, nH, dh] bf16

@@ -111,6 +111,7 @@ def decode_step(
     cache,
     beam=None,
     kv_skip=None,
+    kv_skip_mode: str = "preserve",
     microbatches: int = 1,
 ):
     """Pipeline-parallel analog of models.gptneox.decode_step.
@@ -175,7 +176,7 @@ def decode_step(
                 lp = model._layer_slice(layers_local, l, extra)
                 y, c = model.block_decode(
                     config, lp, x, c, l, cos, sin, pos_m, valid,
-                    beam=beam_t, kv_skip=skip,
+                    beam=beam_t, kv_skip=skip, kv_skip_mode=kv_skip_mode,
                 )
                 return (y, c), None
 

@@ -87,3 +87,40 @@ def test_flash_decode_clamp_ignores_stale_tail():
         q, poisoned["k"], None, poisoned["v"], None, jnp.int32(0), positions, **args
     )
     assert jnp.array_equal(clean, dirty), "stale tail leaked into flash-decode output"
+
+
+@pytest.mark.parametrize(
+    "B,bw,nH,dh,S,quantized",
+    [
+        (1, 2, 8, 128, 640, True),
+        (2, 4, 4, 128, 512, True),
+        (1, 3, 4, 128, 384, False),  # odd beam width, float cache
+    ],
+)
+def test_flash_decode_beam_matches_xla(B, bw, nH, dh, S, quantized):
+    """Interpret-mode: the grouped beam kernel (in-kernel cache indirection)
+    must match attend_decode_beam's all-pairs XLA formulation."""
+    from fastertransformer4codefuse_tpu.ops.flash_decode import (
+        flash_decode_beam_stacked,
+    )
+
+    rng = np.random.default_rng(1)
+    L = 2
+    BB = B * bw
+    cache = _make_cache(rng, L, BB, nH, S, dh, quantized)
+    q = jnp.asarray(rng.standard_normal((BB, nH, dh)), jnp.bfloat16)
+    # heterogeneous per-beam lengths exercise the per-row causal bounds
+    positions = jnp.asarray(rng.integers(S // 4, S - 1, (BB,)), jnp.int32)
+    valid = jnp.arange(S)[None, :] <= positions[:, None]
+    indir = jnp.asarray(rng.integers(0, bw, (BB, S)), jnp.int32)
+    layer = jnp.int32(1)
+
+    want = kvc.attend_decode_beam(cache, layer, q, valid, 0.11, indir, bw)
+    got = flash_decode_beam_stacked(
+        q, cache["k"], cache.get("k_s"), cache["v"], cache.get("v_s"),
+        layer, positions, indir, bw, sm_scale=0.11, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
