@@ -68,6 +68,10 @@ class Request:
     presence_penalty: float = 0.0
     min_length: int = 0
     random_seed: int = 0
+    # admission priority: lower admits first among pending requests (FIFO
+    # within a class — ties break on uid). Running requests are never
+    # preempted; priority only orders the queue at slot-free time.
+    priority: int = 0
     stop_words: Optional[Sequence[Sequence[int]]] = None
     bad_words: Optional[Sequence[Sequence[int]]] = None
     optional_last_tokens: Optional[Sequence[int]] = None
@@ -395,7 +399,11 @@ class ContinuousBatcher:
         for slot in self._free_slots():
             if not self.pending:
                 break
-            self._admit(self.pending.pop(0), slot)
+            # lowest (priority, uid) first: strict priority classes, FIFO
+            # within a class
+            nxt = min(range(len(self.pending)),
+                      key=lambda i: (self.pending[i].priority, self.pending[i].uid))
+            self._admit(self.pending.pop(nxt), slot)
         if not self.running:
             return []
 

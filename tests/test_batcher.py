@@ -262,3 +262,33 @@ def test_continuous_batching_flash_mode_matches_oneshot():
     for uid, ref in zip(uids, refs):
         r = done[uid]
         assert r.done and r.output_ids == ref, (uid, r.output_ids, ref)
+
+
+def test_priority_orders_admission():
+    """Lower-priority-value requests jump the pending queue when a slot frees
+    (running requests are never preempted); FIFO within a class."""
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    cb = ContinuousBatcher(eng, max_slots=1, max_seq_len=32, prompt_bucket=8)
+
+    first = cb.submit([3, 4, 5], 2, top_k=1, min_length=2)
+    cb.step()  # `first` occupies the single slot before the others arrive
+    bulk = [cb.submit([9, 8], 3, top_k=1, min_length=3) for _ in range(3)]
+    urgent = cb.submit([11, 12], 2, top_k=1, min_length=2, priority=-1)
+
+    order = []
+    seen = {first}
+    order.append(first)
+    for _ in range(100):
+        for uid, _t, done in cb.step():
+            if uid not in seen:
+                seen.add(uid)
+                order.append(uid)
+        if not cb.pending and not cb.running:
+            break
+    # urgent (priority -1) admits as soon as `first` frees the slot — before
+    # any of the earlier-submitted bulk requests
+    assert order.index(urgent) == 1, (order, urgent)
+    assert order[0] == first
+    assert [u for u in order[2:]] == bulk  # FIFO within the default class
