@@ -124,18 +124,28 @@ class CodeFuseHandler:
         self.on_stream_text = on_stream_text
         self.server = None
         if pool is not None:
-            from ..engine.server import BatchingServer
+            from ..engine.server import BatchingServer, MultiPoolServer
 
-            pool = dict(pool)
-            # the response schema always carries cum_log_prob, so the pool
-            # must track per-token log-probs (reference return_cum_log_probs)
-            pool.setdefault("return_log_probs", True)
-            # trie extension lists (optional_last_tokens) can span hundreds of
-            # vocab entries; give the pool room unless the caller pinned it
-            pool.setdefault("optional_last_width", 512)
-            pool.setdefault("stop_words_width", 64)
-            pool.setdefault("bad_words_width", 64)
-            self.server = BatchingServer(engine, **pool)
+            def with_defaults(kw):
+                kw = dict(kw)
+                # the response schema always carries cum_log_prob, so the pool
+                # must track per-token log-probs (return_cum_log_probs)
+                kw.setdefault("return_log_probs", True)
+                # trie extension lists (optional_last_tokens) can span
+                # hundreds of vocab entries; give the pool room
+                kw.setdefault("optional_last_width", 512)
+                kw.setdefault("stop_words_width", 64)
+                kw.setdefault("bad_words_width", 64)
+                return kw
+
+            if isinstance(pool, (list, tuple)):
+                # length-classed pools: each request routes to the smallest
+                # class it fits (engine/server.MultiPoolServer)
+                self.server = MultiPoolServer(
+                    engine, [with_defaults(kw) for kw in pool]
+                )
+            else:
+                self.server = BatchingServer(engine, **with_defaults(pool))
         if warmup:
             generate(self.engine, self.tokenizer, ["demo"], 2, 1)
             if self.server is not None:

@@ -91,6 +91,11 @@ class Request:
     _chunks_left: int = 0
 
 
+# process-wide uid stream: requests stay uniquely addressable even when
+# several pools coexist (engine/server.MultiPoolServer routes by uid)
+_UIDS = itertools.count()
+
+
 class ContinuousBatcher:
     """Slot-pool scheduler over a GptNeoXEngine's model functions."""
 
@@ -133,7 +138,7 @@ class ContinuousBatcher:
         # contract); off by default — the [B, V] fp32 normalization per tick
         # is pure overhead when nobody reads it
         self.return_log_probs = return_log_probs
-        self._uid = itertools.count()
+        self._uid = _UIDS
         self.pending: List[Request] = []
         self.running: Dict[int, Request] = {}  # slot -> request
         self.requests: Dict[int, Request] = {}  # uid -> every submitted request

@@ -628,6 +628,9 @@ def attend_decode(
             q, cache.get("k4", cache.get("k")), cache.get("k_s"),
             cache.get("v4", cache.get("v")), cache.get("v_s"),
             layer, positions, sm_scale=sm_scale,
+            # bs=256 measured best e2e: wider 512-chunks round the
+            # length-proportional reads UP to coarser boundaries and LOST
+            # (924 vs 769 us/step at mean pos ~1056, profile_decode A/B)
         )
 
     cache_l = _unpack_layer({

@@ -115,3 +115,54 @@ class BatchingServer:
             self._error = e
             for ev in list(self._events.values()):
                 ev.set()
+
+
+class MultiPoolServer:
+    """Length-classed slot pools over ONE engine (shared weights).
+
+    The single-pool server sizes every slot's cache region for the WORST-CASE
+    request (``max_seq_len``), so a 64-token request in a 2048-slot pool pays
+    2048-wide attention reads and holds 2048 slots of HBM. Here each request
+    routes to the SMALLEST pool class it fits; each pool has its own driver
+    thread, and their per-tick programs interleave on the device (short-class
+    ticks are cheap, so they slipstream between long-class ticks).
+
+    ``pools``: list of BatchingServer kwargs, e.g.
+    ``[dict(max_slots=16, max_seq_len=256), dict(max_slots=4, max_seq_len=2048)]``.
+    API-compatible with BatchingServer (submit/wait/generate/close).
+    """
+
+    def __init__(self, engine: GptNeoXEngine, pools):
+        assert pools, "need at least one pool class"
+        self.servers = sorted(
+            (BatchingServer(engine, **kw) for kw in pools),
+            key=lambda s: s.batcher.max_seq_len,
+        )
+        self._route: Dict[int, BatchingServer] = {}
+
+    @property
+    def batcher(self):  # compatibility: the largest class bounds capacity
+        return self.servers[-1].batcher
+
+    def submit(self, prompt, output_len: int, **kw) -> int:
+        need = len(prompt) + output_len
+        for srv in self.servers:
+            if need <= srv.batcher.max_seq_len:
+                uid = srv.submit(prompt, output_len, **kw)
+                # uids are process-globally unique (batcher._UIDS)
+                self._route[uid] = srv
+                return uid
+        raise ValueError(
+            f"prompt({len(prompt)}) + output({output_len}) exceeds every "
+            f"pool class (largest {self.servers[-1].batcher.max_seq_len})"
+        )
+
+    def wait(self, uid: int, timeout=None):
+        return self._route.pop(uid).wait(uid, timeout)
+
+    def generate(self, prompt, output_len: int, **kw):
+        return self.wait(self.submit(prompt, output_len, **kw))
+
+    def close(self):
+        for srv in self.servers:
+            srv.close()

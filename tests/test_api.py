@@ -380,3 +380,30 @@ def test_handler_serves_int4_checkpoint(tmp_path, monkeypatch):
     import numpy as _np
 
     _np.testing.assert_array_equal(_np.asarray(mw.q), _np.asarray(lw.q))
+
+
+def test_handler_multi_pool_classes():
+    """CodeFuseHandler(pool=[classA, classB]): requests route to the smallest
+    length class; responses identical to the static path."""
+    tok = CharTokenizer()
+    cfg = GptNeoXConfig.tiny(vocab_size=64, end_id=1)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    trie = VocabTrie(tok.get_vocab())
+    static = CodeFuseHandler(engine=eng, tokenizer=tok, trie=trie, warmup=False)
+    pooled = CodeFuseHandler(
+        engine=eng, tokenizer=tok, trie=trie, warmup=False,
+        pool=[dict(max_slots=2, max_seq_len=16, prompt_bucket=8),
+              dict(max_slots=2, max_seq_len=64, prompt_bucket=8)],
+    )
+    try:
+        for prompt, out_len in (("hi", 4), ("hello there", 40)):
+            req = {"prompts": [{"prompt": prompt, "top_k": 1}],
+                   "out_seq_length": out_len}
+            cs, es, rs = static.predict(req, "s")
+            cp, ep, rp = pooled.predict(req, "p")
+            assert cs == 0 and cp == 0, (es, ep)
+            assert (json.loads(rs["res"])["generated_code"]
+                    == json.loads(rp["res"])["generated_code"])
+    finally:
+        pooled.server.close()

@@ -292,3 +292,42 @@ def test_priority_orders_admission():
     assert order.index(urgent) == 1, (order, urgent)
     assert order[0] == first
     assert [u for u in order[2:]] == bulk  # FIFO within the default class
+
+
+def test_multi_pool_server_routes_by_length():
+    """MultiPoolServer: requests land in the smallest class that fits; both
+    classes serve concurrently over one engine and outputs match one-shot."""
+    from fastertransformer4codefuse_tpu.engine.server import MultiPoolServer
+
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    srv = MultiPoolServer(
+        eng,
+        [dict(max_slots=2, max_seq_len=16, prompt_bucket=8),
+         dict(max_slots=2, max_seq_len=64, prompt_bucket=8)],
+    )
+    try:
+        reqs = [
+            ([3, 4, 5], 4),     # fits the 16-class
+            ([9, 8, 7], 40),    # needs the 64-class
+            ([11, 12], 6),      # 16-class
+        ]
+        refs = []
+        for p, n in reqs:
+            o = eng.generate([p], output_len=n, top_k=1)
+            m = int(o.sequence_lengths[0, 0])
+            refs.append([int(x) for x in o.output_ids[0, 0, :m]])
+        uids = [srv.submit(p, n, top_k=1) for p, n in reqs]
+        # routing: short ones in the small class, long one in the big class
+        assert srv._route[uids[0]].batcher.max_seq_len == 16
+        assert srv._route[uids[1]].batcher.max_seq_len == 64
+        for uid, ref in zip(uids, refs):
+            r = srv.wait(uid, timeout=300)
+            assert r.done and r.output_ids == ref, (uid, r.output_ids, ref)
+        import pytest
+
+        with pytest.raises(ValueError):
+            srv.submit(list(range(2, 40)), 40, top_k=1)  # exceeds every class
+    finally:
+        srv.close()
