@@ -71,6 +71,9 @@ def get_data_package(request_dict: dict, default_random_seed: int) -> dict:
         "min_length": gather("min_length", 0),
         "random_seed": gather("random_seed", default_random_seed),
         "output_log_probs": bool(request_dict.get("output_log_probs", False)),
+        # request-level admission priority for the pooled path (lower admits
+        # first; ignored on the static path, which has no queue)
+        "priority": int(request_dict.get("priority", 0)),
     }
 
 
@@ -208,6 +211,7 @@ class CodeFuseHandler:
                     presence_penalty=float(pick("presence_penalty", 0.0, b)),
                     min_length=int(pick("min_length", 0, b)),
                     random_seed=int(pick("random_seed", 0, b)),
+                    priority=dp.get("priority", 0),
                     stop_words=word_ids(dp.get("stop_words_list"), b),
                     bad_words=word_ids(dp.get("bad_words_list"), b),
                     optional_last_tokens=olt,
@@ -291,6 +295,7 @@ class CodeFuseHandler:
                     except BaseException as err:  # noqa: BLE001 — parity with reference
                         logger.error("callback error: %s", err)
 
+            data_package.pop("priority", None)  # pooled-path-only knob
             want_step_lp = data_package["output_log_probs"]
             res = generate(
                 self.engine,
