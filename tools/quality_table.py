@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
-from train_proxy import load_params, proxy_config
+from train_proxy import config_of_ckpt, load_params, proxy_config
 
 
 def main():
@@ -48,7 +48,7 @@ def main():
     from fastertransformer4codefuse_tpu.ckpt.quantize import quantize_params
     from quality_eval import eval_nll, greedy_agreement
 
-    cfg = proxy_config()
+    cfg = config_of_ckpt(args.ckpt)
     params = load_params(args.ckpt)
     held = np.load(args.ckpt + ".heldout.npy")[: args.max_heldout]
     print(f"held-out: {len(held)} bytes")

@@ -24,11 +24,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 import numpy as np
 
 
-def load_corpus(root: str) -> np.ndarray:
-    """Byte stream of the repo's Python + Markdown sources."""
+def load_corpus(root: str, extra_roots=()) -> np.ndarray:
+    """Byte stream of source text: the repo's Python + Markdown, plus any
+    ``extra_roots`` (e.g. the read-only reference checkout's C++/CUDA — tens
+    of MB of real code text, which a larger proxy needs to not overfit)."""
+    exts = ("*.py", "*.md")
+    extra_exts = ("*.py", "*.md", "*.cc", "*.cu", "*.h", "*.hpp", "*.cpp")
     paths = sorted(
-        glob.glob(os.path.join(root, "**", "*.py"), recursive=True)
-        + glob.glob(os.path.join(root, "**", "*.md"), recursive=True)
+        sum((glob.glob(os.path.join(root, "**", e), recursive=True) for e in exts), [])
+        + sum(
+            (glob.glob(os.path.join(r, "**", e), recursive=True)
+             for r in extra_roots for e in extra_exts),
+            [],
+        )
     )
     blobs = []
     for p in paths:
@@ -44,9 +52,9 @@ def load_corpus(root: str) -> np.ndarray:
 def proxy_config():
     from fastertransformer4codefuse_tpu import GptNeoXConfig
 
-    # ~19M params: big enough for real channel statistics, small enough to
-    # train on CPU in minutes. vocab 256 = raw bytes. Architecture knobs match
-    # CodeFuse (gptj residual, tanh-gelu, rotary pct 0.5).
+    # default ~19M params: big enough for real channel statistics, small
+    # enough to train on CPU in minutes. vocab 256 = raw bytes. Architecture
+    # knobs match CodeFuse (gptj residual, tanh-gelu, rotary pct 0.5).
     return GptNeoXConfig.tiny(
         head_num=8,
         size_per_head=64,
@@ -57,6 +65,33 @@ def proxy_config():
         activation="gelu-tanh",
         model_name="proxy19m",
     )
+
+
+def sized_config(heads, dh, layers, inter):
+    from fastertransformer4codefuse_tpu import GptNeoXConfig
+
+    return GptNeoXConfig.tiny(
+        head_num=heads,
+        size_per_head=dh,
+        layer_num=layers,
+        vocab_size=256,
+        rotary_embedding_dim=dh // 2,
+        inter_size=inter,
+        activation="gelu-tanh",
+        model_name=f"proxy-h{heads}x{dh}-L{layers}",
+    )
+
+
+def config_of_ckpt(path):
+    """Rebuild the proxy config a checkpoint was trained with (stored as
+    __config__ json in the npz; default-19M for older checkpoints)."""
+    import json
+
+    z = np.load(path, allow_pickle=False)
+    if "__config__" in z.files:
+        kw = json.loads(str(z["__config__"]))
+        return sized_config(**kw)
+    return proxy_config()
 
 
 def save_params(path: str, params) -> None:
@@ -77,6 +112,8 @@ def load_params(path: str):
     z = np.load(path)
     params = {}
     for key in z.files:
+        if key.startswith("__"):  # metadata (e.g. __config__), not a leaf
+            continue
         parts = key.split("/")
         d = params
         for p in parts[:-1]:
@@ -93,6 +130,13 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="/tmp/ftcf_proxy.npz")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--dh", type=int, default=64)
+    ap.add_argument("--layers", type=int, default=6)
+    ap.add_argument("--inter", type=int, default=2048)
+    ap.add_argument("--corpus-extra", default="",
+                    help="comma-separated extra source roots (e.g. the "
+                    "reference checkout) to enlarge the byte corpus")
     args = ap.parse_args()
 
     import jax
@@ -102,9 +146,11 @@ def main():
     from fastertransformer4codefuse_tpu import init_params
     from fastertransformer4codefuse_tpu.models import gptneox as model
 
-    cfg = proxy_config()
+    cfg = sized_config(args.heads, args.dh, args.layers, args.inter)
     root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
-    corpus = load_corpus(root)
+    corpus = load_corpus(
+        root, [r for r in args.corpus_extra.split(",") if r]
+    )
     split = int(len(corpus) * 0.95)
     train, held = corpus[:split], corpus[split:]
     print(f"corpus: {len(corpus)} bytes ({split} train / {len(held)} held-out)")
@@ -152,6 +198,13 @@ def main():
             )
 
     save_params(args.out, params)
+    # append the config so evaluators rebuild the right architecture
+    import json
+    z = dict(np.load(args.out, allow_pickle=False))
+    z["__config__"] = np.array(json.dumps(dict(
+        heads=args.heads, dh=args.dh, layers=args.layers, inter=args.inter
+    )))
+    np.savez(args.out, **z)
     np.save(args.out + ".heldout.npy", held)
     print(f"saved {args.out} (+ .heldout.npy, {len(held)} bytes)")
 
