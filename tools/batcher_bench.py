@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--prompt-bucket", type=int, default=128)
     ap.add_argument("--handler", action="store_true",
                     help="drive the full CodeFuseHandler.predict serving path")
+    ap.add_argument("--mixed", choices=("single", "multi", ""), default="",
+                    help="mixed-length workload (half 64in/32out, half "
+                    "512in/128out) through ONE 8x1024 pool ('single') or "
+                    "length-classed pools 16x256 + 4x1024 ('multi')")
     ap.add_argument("--layers", type=int, default=0,
                     help="override layer count (0 = full 13B; 2 for smoke)")
     ap.add_argument("--dtype", default="bf16",
@@ -67,6 +71,61 @@ def main():
                       max_batch_size=args.slots, max_seq_len=args.max_seq),
     )
     rng = np.random.default_rng(0)
+
+    if args.mixed:
+        # Mixed-length workload: does length-classed routing beat one
+        # worst-case pool? Half the requests are short (64in/32out), half
+        # long (512in/128out); total request count = --requests.
+        from fastertransformer4codefuse_tpu.engine.server import (
+            BatchingServer,
+            MultiPoolServer,
+        )
+
+        if args.mixed == "multi":
+            srv = MultiPoolServer(
+                eng,
+                [dict(max_slots=8, max_seq_len=256, prompt_bucket=128),
+                 dict(max_slots=4, max_seq_len=1024, prompt_bucket=128)],
+            )
+        else:
+            srv = BatchingServer(
+                eng, max_slots=8, max_seq_len=1024, prompt_bucket=128
+            )
+        reqs = []
+        for i in range(args.requests):
+            if i % 2 == 0:
+                reqs.append((list(rng.integers(2, 50000, size=(64,))), 32))
+            else:
+                reqs.append((list(rng.integers(2, 50000, size=(512,))), 128))
+        # warm both classes
+        srv.generate(reqs[0][0], 4, top_k=1)
+        srv.generate(reqs[1][0], 4, top_k=1)
+        t0 = time.perf_counter()
+        uids = [srv.submit(p, n, top_k=1, min_length=n) for p, n in reqs]
+        done_at = {}
+
+        def waiter(uid):
+            srv.wait(uid, timeout=3600)
+            done_at[uid] = time.perf_counter() - t0
+
+        threads = [threading.Thread(target=waiter, args=(u,)) for u in uids]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = max(done_at.values())
+        total = sum(n for _, n in reqs)
+        short_lat = sorted(done_at[u] for u, (p, n) in zip(uids, reqs) if n == 32)
+        long_lat = sorted(done_at[u] for u, (p, n) in zip(uids, reqs) if n == 128)
+        print(
+            f"MIXED workload ({args.mixed}): {args.requests} requests "
+            f"(half 64/32, half 512/128): {total} tokens in {dt:.2f}s "
+            f"= {total / dt:.1f} tok/s aggregate; "
+            f"short p50 {short_lat[len(short_lat)//2]:.2f}s "
+            f"long p50 {long_lat[len(long_lat)//2]:.2f}s"
+        )
+        srv.close()
+        return
 
     if args.handler:
         # Full serving path: N concurrent predict() threads sharing the
