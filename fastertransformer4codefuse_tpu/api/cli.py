@@ -57,6 +57,12 @@ def main(argv=None):
     parser.add_argument("--pool_slots", type=int, default=8)
     parser.add_argument("--pool_seq_len", type=int, default=2048)
     parser.add_argument("--prompt_bucket", type=int, default=128)
+    parser.add_argument(
+        "--http", type=int, default=0, metavar="PORT",
+        help="with --serve: expose POST /predict on this port instead of "
+        "reading JSONL (api/http_server.py)",
+    )
+    parser.add_argument("--http_host", default="127.0.0.1")
     args = parser.parse_args(argv)
     if not args.serve and args.input_file is None:
         parser.error("--input_file is required (or use --serve with stdin)")
@@ -90,7 +96,12 @@ def main(argv=None):
     )
 
     if args.serve:
-        serve(handler, args)
+        if args.http:
+            from .http_server import serve_forever
+
+            serve_forever(handler, args.http_host, args.http)
+        else:
+            serve(handler, args)
         return
 
     with open(args.input_file) as f:

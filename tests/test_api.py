@@ -407,3 +407,66 @@ def test_handler_multi_pool_classes():
                     == json.loads(rp["res"])["generated_code"])
     finally:
         pooled.server.close()
+
+
+def test_http_server_end_to_end():
+    """POST /predict over the pooled handler: concurrent HTTP requests share
+    the slot pool; responses carry the reference schema. GET /healthz works;
+    bad requests 400; handler errors 500."""
+    import threading
+    import urllib.request
+
+    tok = CharTokenizer()
+    cfg = GptNeoXConfig.tiny(vocab_size=64, end_id=1)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    handler = CodeFuseHandler(
+        engine=eng, tokenizer=tok, trie=VocabTrie(tok.get_vocab()),
+        warmup=False, pool=dict(max_slots=2, max_seq_len=64, prompt_bucket=8),
+    )
+    from fastertransformer4codefuse_tpu.api.http_server import make_server
+
+    srv = make_server(handler, "127.0.0.1", 0)  # ephemeral port
+    port = srv.server_address[1]
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert r.status == 200
+
+        def post(body, expect=200):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict",
+                data=json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        results = {}
+
+        def run(name, prompt, n):
+            results[name] = post(
+                {"prompts": [{"prompt": prompt, "top_k": 1, "min_length": n}],
+                 "out_seq_length": n}
+            )
+
+        t1 = threading.Thread(target=run, args=("long", "abcdef", 30))
+        t2 = threading.Thread(target=run, args=("short", "xy", 2))
+        t1.start(); t2.start(); t1.join(120); t2.join(120)
+        for name in ("long", "short"):
+            status, body = results[name]
+            assert status == 200, body
+            assert "generated_code" in body["res"], body
+            want = 30 if name == "long" else 2
+            assert body["res"]["length"][0][0] == want
+
+        status, body = post({"prompts": [{}]})
+        assert status == 500 and "error" in body
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        handler.server.close()
