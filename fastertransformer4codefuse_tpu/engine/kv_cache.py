@@ -609,19 +609,17 @@ def attend_decode(
         return attend_decode_beam(
             cache, layer, q, valid, sm_scale, indir, bw, positions=positions
         )
-    if q.shape[1] != nKV:
-        # GQA: fold the query group into attend_chunk's query axis
-        B, nH = q.shape[0], q.shape[1]
-        out = attend_chunk(cache, layer, q[:, None], valid[:, None, :], sm_scale)
-        return out[:, 0]
     if (
         _FLASH_DECODE
         and positions is not None
         and dh in (128, 256)
         and S >= _FLASH_MIN_S[quantized(cache)]
+        and q.shape[1] % nKV == 0
     ):
         # the seq-chunked kernel handles any S (ragged tail masked), int8 /
-        # packed-int4 / float caches, and any batch; dh must fill whole lanes
+        # packed-int4 / float caches, any batch, and GQA (nKV < nH: the
+        # per-KV-head query dot widens from M=1 to M=g, same KV bytes);
+        # dh must fill whole lanes
         from ..ops.flash_decode import flash_decode_stacked
 
         return flash_decode_stacked(
@@ -632,6 +630,11 @@ def attend_decode(
             # length-proportional reads UP to coarser boundaries and LOST
             # (924 vs 769 us/step at mean pos ~1056, profile_decode A/B)
         )
+    if q.shape[1] != nKV:
+        # GQA XLA fallback: fold the query group into attend_chunk's query axis
+        B, nH = q.shape[0], q.shape[1]
+        out = attend_chunk(cache, layer, q[:, None], valid[:, None, :], sm_scale)
+        return out[:, 0]
 
     cache_l = _unpack_layer({
         k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)

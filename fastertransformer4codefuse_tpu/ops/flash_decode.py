@@ -39,21 +39,27 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _kernel(
-    scalars_ref, q_ref, k_ref, *rest, sm_scale, bs, n_s, hb, has_scale,
-    k_packed=False, v_packed=False,
+    scalars_ref, q_ref, k_ref, *rest, sm_scale, bs, n_s, hb, g, has_scale,
+    k_packed=False, v_packed=False, compute_dtype=jnp.bfloat16,
 ):
+    """``g`` = query heads per KV head (1 = plain MHA; >1 = GQA, the LLaMA
+    family): the per-KV-head query dot simply widens from M=1 to M=g — the
+    KV bytes are still read once per KV head, matching the reference decode
+    kernel's head_num/kv_head_num grouping
+    (decoder_masked_multihead_attention_template.hpp)."""
     if has_scale:
         ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         v_ref, o_ref, m_ref, l_ref, acc_ref = rest
+    R = hb * g  # flattened (kv_head, group) score rows
 
     def load_kv(ref, packed):
         # packed int4 slabs: bitcast doubles the sublane (sequence) axis with
         # rows (2i, 2i+1) = positions in order; int4 -> bf16 is exact
         raw = ref[0, 0]  # [hb, bs(/2), dh]
         if packed:
-            return pltpu.bitcast(raw, jnp.int4).astype(jnp.bfloat16)
-        return raw.astype(jnp.bfloat16)
+            return pltpu.bitcast(raw, jnp.int4).astype(compute_dtype)
+        return raw.astype(compute_dtype)
     b = pl.program_id(0)
     s_idx = pl.program_id(2)
     pos = scalars_ref[1 + b]  # newest-token slot (inclusive mask bound)
@@ -68,28 +74,31 @@ def _kernel(
     # (their DMA is already in flight — the win is VPU time, not bytes)
     @pl.when(s_idx * bs <= pos)
     def _compute():
-        col = jax.lax.broadcasted_iota(jnp.int32, (hb, bs), 1) + s_idx * bs
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, bs), 1) + s_idx * bs
         valid = col <= pos
-        qb = q_ref[0].astype(jnp.bfloat16)  # [hb, dh]
+        qb = q_ref[0].astype(compute_dtype)  # [hb, g, dh]
         kf = load_kv(k_ref, k_packed)  # [hb, bs, dh]
-        # scores = q @ k^T: hb-batched M=1 MXU dot, LANE-major [hb, bs]
+        # scores = q @ k^T: hb-batched M=g MXU dot, LANE-major [hb, g, bs]
         scores = jax.lax.dot_general(
-            qb[:, None, :], kf, (((2,), (2,)), ((0,), (0,))),
+            qb, kf, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]  # [hb, bs]
+        ).reshape(R, bs)
         if has_scale:
-            scores = scores * ks_ref[0, 0].astype(jnp.float32)
+            ks = ks_ref[0, 0].astype(jnp.float32)  # [hb, bs]
+            scores = scores * jnp.repeat(ks, g, axis=0) if g > 1 else scores * ks
         scores = jnp.where(valid, scores * sm_scale, MASK_VALUE)
 
-        m_prev = m_ref[:, :1]  # [hb, 1]
+        m_prev = m_ref[:, :1]  # [R, 1]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(scores - m_new)  # [hb, bs]; masked cols -> 0
+        p = jnp.exp(scores - m_new)  # [R, bs]; masked cols -> 0
 
         if has_scale:
             # OOB tail loads can hold NaN bit patterns in the scale slab
             # and 0 * NaN = NaN — re-mask after the multiply
-            pv_w = jnp.where(valid, p * vs_ref[0, 0].astype(jnp.float32), 0.0)
+            vs = vs_ref[0, 0].astype(jnp.float32)
+            vsr = jnp.repeat(vs, g, axis=0) if g > 1 else vs
+            pv_w = jnp.where(valid, p * vsr, 0.0)
         else:
             pv_w = p
         vf = load_kv(v_ref, v_packed)  # [hb, bs, dh]
@@ -97,11 +106,12 @@ def _kernel(
             # float caches: tail garbage could be NaN while p is 0
             row = jax.lax.broadcasted_iota(jnp.int32, (hb, bs, 1), 1) + s_idx * bs
             vf = jnp.where(row <= pos, vf, 0.0)
-        # pv = p @ v: hb-batched M=1 MXU dot, K=bs on v's sublanes
+        # pv = p @ v: hb-batched M=g MXU dot, K=bs on v's sublanes
         pv = jax.lax.dot_general(
-            pv_w.astype(jnp.bfloat16)[:, None, :], vf, (((2,), (1,)), ((0,), (0,))),
+            pv_w.astype(compute_dtype).reshape(hb, g, bs), vf,
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]  # [hb, dh]
+        ).reshape(R, -1)  # [R, dh]
         acc_ref[...] = alpha * acc_ref[...] + pv
         m_ref[:, :1] = m_new
         l_ref[:, :1] = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
@@ -109,7 +119,9 @@ def _kernel(
     @pl.when(s_idx == n_s - 1)
     def _done():
         denom = jnp.maximum(l_ref[:, :1], 1e-20)
-        o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
+        o_ref[0] = (
+            (acc_ref[...] / denom).reshape(hb, g, -1).astype(o_ref.dtype)
+        )
 
 
 def _beam_kernel(
@@ -333,15 +345,15 @@ def flash_decode_beam_stacked(
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "hb", "bs", "interpret"))
 def flash_decode_stacked(
-    q: jax.Array,  # [B, nH, dh] bf16
-    k_all: jax.Array,  # [L, B, nH, S, dh] int8 or bf16
-    ks_all,  # [L, B, nH, S] scales, or None for float caches
+    q: jax.Array,  # [B, nH, dh] bf16 (nH may exceed the cache's KV heads: GQA)
+    k_all: jax.Array,  # [L, B, nKV, S, dh] int8 or bf16
+    ks_all,  # [L, B, nKV, S] scales, or None for float caches
     v_all: jax.Array,
     vs_all,
     layer: jax.Array,  # scalar
     positions: jax.Array,  # [B] — newest-token slot per row (inclusive mask)
     sm_scale: float,
-    hb: int = 40,  # heads per grid block (largest divisor of nH is taken)
+    hb: int = 40,  # KV heads per grid block (largest divisor of nKV is taken)
     bs: int = 256,  # sequence chunk (any S; ragged tail masked)
     interpret: bool = False,  # CPU emulation for tests
 ) -> jax.Array:
@@ -349,12 +361,14 @@ def flash_decode_stacked(
     has_scale = ks_all is not None
     # packed int4 slabs carry S/2 position-pair bytes; the scale slab always
     # has the UNPACKED length, which defines the grid and mask arithmetic
-    L, B2, nH2, Sk, dh2 = k_all.shape
+    L, B2, nKV, Sk, dh2 = k_all.shape
     S = ks_all.shape[3] if has_scale else Sk
     k_packed = has_scale and 2 * Sk == S
     v_packed = has_scale and 2 * v_all.shape[3] == S
-    assert (B, nH, dh) == (B2, nH2, dh2)
-    hb = next(d for d in range(min(hb, nH), 0, -1) if nH % d == 0)
+    assert (B, dh) == (B2, dh2) and nH % nKV == 0
+    g = nH // nKV  # query heads per KV head (GQA; 1 = plain MHA)
+    q = q.reshape(B, nKV, g, dh)
+    hb = next(d for d in range(min(hb, nKV), 0, -1) if nKV % d == 0)
     # VMEM guard: K+V (+scales) blocks, double-buffered, must fit ~16MB
     kv_bytes = (2 - k_packed * 0.5 - v_packed * 0.5) * k_all.dtype.itemsize
     while hb * bs * (dh * kv_bytes + 4) * 2 > 12 * 1024 * 1024:
@@ -387,7 +401,7 @@ def flash_decode_stacked(
         (1, 1, hb, bs), lambda b, h, s, sr: (sr[0], b, h, _s_clamp(b, s, sr))
     )
     in_specs = [
-        pl.BlockSpec((1, hb, dh), lambda b, h, s, sr: (b, h, 0)),
+        pl.BlockSpec((1, hb, g, dh), lambda b, h, s, sr: (b, h, 0, 0)),
         kv_spec(k_packed),
     ]
     operands = [q, k_all]
@@ -397,31 +411,37 @@ def flash_decode_stacked(
     else:
         in_specs += [kv_spec(False)]
         operands += [v_all]
+    R = hb * g
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, nH // hb, n_s),
+        grid=(B, nKV // hb, n_s),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, hb, dh), lambda b, h, s, sr: (b, h, 0)),
+        out_specs=pl.BlockSpec(
+            (1, hb, g, dh), lambda b, h, s, sr: (b, h, 0, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((hb, 128), jnp.float32),  # running max (col 0)
-            pltpu.VMEM((hb, 128), jnp.float32),  # running denom (col 0)
-            pltpu.VMEM((hb, dh), jnp.float32),  # running numerators
+            pltpu.VMEM((R, 128), jnp.float32),  # running max (col 0)
+            pltpu.VMEM((R, 128), jnp.float32),  # running denom (col 0)
+            pltpu.VMEM((R, dh), jnp.float32),  # running numerators
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
-            _kernel, sm_scale=sm_scale, bs=bs, n_s=n_s, hb=hb,
+            _kernel, sm_scale=sm_scale, bs=bs, n_s=n_s, hb=hb, g=g,
             has_scale=has_scale, k_packed=k_packed, v_packed=v_packed,
+            # interpret mode runs the dots on CPU, whose thunks reject bf16
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, nH, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nKV, g, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * nH * S * dh,
-            bytes_accessed=2 * B * nH * S * dh * k_all.dtype.itemsize,
+            bytes_accessed=2 * B * nKV * S * dh * k_all.dtype.itemsize,
             transcendentals=B * nH * S,
         ),
         interpret=interpret,
     )(scalars, *operands)
+    return out.reshape(B, nH, dh)

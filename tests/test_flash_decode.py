@@ -124,3 +124,40 @@ def test_flash_decode_beam_matches_xla(B, bw, nH, dh, S, quantized):
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+@pytest.mark.parametrize(
+    "B,nH,nKV,dh,S,quantized,pos",
+    [
+        (1, 8, 2, 128, 640, True, 500),   # GQA g=4, int8 cache
+        (2, 8, 4, 128, 384, False, 100),  # GQA g=2, float cache
+        (1, 4, 1, 128, 512, True, 300),   # MQA (single KV head)
+    ],
+)
+def test_flash_decode_gqa_matches_xla(B, nH, nKV, dh, S, quantized, pos):
+    """GQA/MQA: the kernel's per-KV-head M=g query dot must match the XLA
+    grouped attend (the path LLaMA-family decode used exclusively before)."""
+    rng = np.random.default_rng(3)
+    L = 2
+    cache = _make_cache(rng, L, B, nKV, S, dh, quantized)
+    if not quantized:
+        # the float-cache GQA REFERENCE path (attend_chunk) does a bf16 PV
+        # einsum the CPU backend's thunks reject at this shape — compare in
+        # f32 on CPU (the kernel itself is dtype-agnostic)
+        cache = {k: v.astype(jnp.float32) for k, v in cache.items()}
+    q = jnp.asarray(
+        rng.standard_normal((B, nH, dh)),
+        jnp.bfloat16 if quantized else jnp.float32,
+    )
+    sm = 1.0 / float(np.sqrt(dh))
+    positions = jnp.asarray([(pos + 17 * i) % S for i in range(B)], jnp.int32)
+    valid = jnp.arange(S)[None, :] <= positions[:, None]
+
+    kvc.set_flash_decode(False)
+    ref = kvc.attend_decode(cache, jnp.int32(1), q, valid, sm, positions=positions)
+    out = flash_decode_stacked(
+        q, cache["k"], cache.get("k_s"), cache["v"], cache.get("v_s"),
+        jnp.int32(1), positions, sm_scale=sm, bs=256, interpret=True,
+    )
+    err = jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+    assert float(err) < 0.05, float(err)
