@@ -248,6 +248,53 @@ def main():
     print(f"int4-KV flash kernel vs XLA @S={S}: maxerr {err4:.4f}")
     assert err4 < 0.05, err4
 
+    # --- GQA flash decode on real hardware (M=g query dot) -------------------
+    nKV, g = 2, 4
+    cacheg = {
+        "k": jnp.asarray(rng.integers(-127, 128, (L, B, nKV, S, dh)), jnp.int8),
+        "v": jnp.asarray(rng.integers(-127, 128, (L, B, nKV, S, dh)), jnp.int8),
+        "k_s": jnp.asarray(rng.random((L, B, nKV, S)) * 0.02, jnp.bfloat16),
+        "v_s": jnp.asarray(rng.random((L, B, nKV, S)) * 0.02, jnp.bfloat16),
+    }
+    qg = jnp.asarray(rng.standard_normal((B, nKV * g, dh)), jnp.bfloat16)
+    kvc.set_flash_decode(False)
+    refg = kvc.attend_decode(cacheg, jnp.int32(1), qg, valid, 0.088, positions=positions)
+    kvc.set_flash_decode(True)
+    outg = flash_decode_stacked(
+        qg, cacheg["k"], cacheg["k_s"], cacheg["v"], cacheg["v_s"],
+        jnp.int32(1), positions, sm_scale=0.088,
+    )
+    errg = float(jnp.max(jnp.abs(outg.astype(jnp.float32) - refg.astype(jnp.float32))))
+    print(f"GQA (g={g}) flash kernel vs XLA @S={S}: maxerr {errg:.4f}")
+    assert errg < 0.05, errg
+
+    # --- beam-indirection flash kernel on real hardware ----------------------
+    from fastertransformer4codefuse_tpu.ops.flash_decode import (
+        flash_decode_beam_stacked,
+    )
+
+    bw, BB = 2, 2
+    cacheb = {
+        "k": jnp.asarray(rng.integers(-127, 128, (L, BB, nH, S, dh)), jnp.int8),
+        "v": jnp.asarray(rng.integers(-127, 128, (L, BB, nH, S, dh)), jnp.int8),
+        "k_s": jnp.asarray(rng.random((L, BB, nH, S)) * 0.02, jnp.bfloat16),
+        "v_s": jnp.asarray(rng.random((L, BB, nH, S)) * 0.02, jnp.bfloat16),
+    }
+    qb = jnp.asarray(rng.standard_normal((BB, nH, dh)), jnp.bfloat16)
+    posb = jnp.asarray([901, 640], jnp.int32)  # heterogeneous per-beam lengths
+    validb = jnp.arange(S)[None, :] <= posb[:, None]
+    indir = jnp.asarray(rng.integers(0, bw, (BB, S)), jnp.int32)
+    kvc.set_flash_decode(False)
+    refb = kvc.attend_decode_beam(cacheb, jnp.int32(1), qb, validb, 0.088, indir, bw)
+    kvc.set_flash_decode(True)
+    outb = flash_decode_beam_stacked(
+        qb, cacheb["k"], cacheb["k_s"], cacheb["v"], cacheb["v_s"],
+        jnp.int32(1), posb, indir, bw, sm_scale=0.088,
+    )
+    errb = float(jnp.max(jnp.abs(outb.astype(jnp.float32) - refb.astype(jnp.float32))))
+    print(f"beam-indirection flash kernel vs XLA @S={S}: maxerr {errb:.4f}")
+    assert errb < 0.05, errb
+
     # --- streaming == batch; beam; batcher ----------------------------------
     eng = GptNeoXEngine(cfg, params_fp, RuntimeConfig(dtype="bf16", seq_bucket=8))
     stream_toks = []
