@@ -45,6 +45,9 @@ class GptNeoXConfig:
     gated_ffn: bool = False  # SwiGLU: h = act(x@gate) * (x@up), extra gate_w
     kv_head_num: Optional[int] = None  # GQA: KV heads < query heads (None = MHA)
     use_bias: bool = True  # False: bias-less qkv/proj/up/down (LLaMA)
+    qkv_bias: bool = False  # bias on the fused QKV ONLY, even when
+    # use_bias=False — the Qwen2 family's layout (q/k/v Linears carry bias,
+    # o_proj and the MLP do not)
     qkv_layout: str = "interleaved"  # fused-QKV column order: "interleaved"
     # (head, qkv, dh — HF GPT-NeoX native) | "concat" ([q all | k all | v all],
     # the only layout possible under GQA where q and kv head counts differ)
@@ -108,6 +111,7 @@ class GptNeoXConfig:
             gated_ffn=sec.get("gated_ffn", "0") == "1",
             kv_head_num=int(sec["kv_head_num"]) if "kv_head_num" in sec else None,
             use_bias=sec.get("use_bias", "1") == "1",
+            qkv_bias=sec.get("qkv_bias", "0") == "1",
             qkv_layout=sec.get("qkv_layout", "interleaved"),
         )
 
@@ -142,6 +146,7 @@ class GptNeoXConfig:
             "gated_ffn": False,
             "kv_head_num": None,
             "use_bias": True,
+            "qkv_bias": False,
             "qkv_layout": "interleaved",
         }
         for key, default in defaults.items():

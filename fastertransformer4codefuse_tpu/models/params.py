@@ -247,8 +247,9 @@ def _init_params_inner(
     if config.norm != "rmsnorm":
         layers["ln1_b"] = jnp.zeros((L, H), dtype)
         layers["ln2_b"] = jnp.zeros((L, H), dtype)
-    if config.use_bias:
+    if config.use_bias or config.qkv_bias:
         layers["qkv_b"] = jnp.zeros((L, config.qkv_cols), dtype)
+    if config.use_bias:
         layers["up_b"] = jnp.zeros((L, I), dtype)
         layers["down_b"] = jnp.zeros((L, H), dtype)
         if not config.use_gptj_residual:

@@ -48,7 +48,7 @@ def families() -> Dict[str, ModelFamily]:
 
 def _register_builtin() -> None:
     from ..core.config import GptNeoXConfig
-    from ..ckpt import convert, convert_gptj, convert_llama
+    from ..ckpt import convert, convert_gptj, convert_llama, convert_qwen2
     from . import gptneox
 
     register(
@@ -70,6 +70,19 @@ def _register_builtin() -> None:
             config_from_ini=GptNeoXConfig.from_ini,
             config_from_hf=convert_llama.config_from_hf_llama,
             params_from_hf=lambda cfg, sd, dtype="fp32": convert_llama.params_from_hf_llama_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+    register(
+        ModelFamily(
+            name="qwen2",
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert_qwen2.config_from_hf_qwen2,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert_qwen2.params_from_hf_qwen2_state_dict(
                 cfg, sd, dtype
             ),
             prefill=gptneox.prefill,
