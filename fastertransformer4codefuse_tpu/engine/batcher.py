@@ -89,6 +89,7 @@ class Request:
     step_log_probs: Optional[List[float]] = None
     _decoder: Optional[object] = None
     _chunks_left: int = 0
+    _pages: Optional[List[int]] = None  # paged pools: reserved page ids
 
 
 # process-wide uid stream: requests stay uniquely addressable even when
@@ -111,14 +112,33 @@ class ContinuousBatcher:
         sampling_cap: int = 64,
         return_log_probs: bool = False,
         flash_decode: str = "on",  # | "off" ("pinned" = legacy alias of on)
+        paged: Optional[dict] = None,  # {"num_pages": P, "page_size": 256}
     ):
         assert max_seq_len % prompt_bucket == 0, "max_seq_len must be a multiple of prompt_bucket"
         if flash_decode == "pinned":
             flash_decode = "on"
         assert flash_decode in ("off", "on")
+        # Paged KV mode (engine/paged_kv.py): slots share one page pool via
+        # block tables, so HBM scales with the sum of actual request lengths
+        # instead of max_slots x max_seq_len, and admission reserves
+        # ceil((len+output_len)/page_size) pages up front (never a mid-flight
+        # out-of-pages). Paged writes are per-row DUS — layout-neutral at ANY
+        # width — so the flash kernel stays eligible where the dense pool's
+        # batched scatter forces wide pools off it.
+        self.paged = dict(paged) if paged else None
+        if self.paged is not None:
+            self.page_size = int(self.paged.get("page_size", 256))
+            assert self.page_size % prompt_bucket == 0, (
+                "page_size must be a multiple of prompt_bucket so chunk "
+                "writes stay within one page"
+            )
+            assert max_seq_len % self.page_size == 0
+            from .paged_kv import PageAllocator
+
+            self.allocator = PageAllocator(int(self.paged["num_pages"]))
         from .kv_cache import _SCATTER_MIN_B
 
-        if flash_decode == "on" and max_slots > _SCATTER_MIN_B:
+        if flash_decode == "on" and self.paged is None and max_slots > _SCATTER_MIN_B:
             # wide pools write the cache via the batched scatter (the
             # unrolled-DUS path's program size scales with B), and the
             # scatter's position-major layout preference re-raises the
@@ -165,7 +185,19 @@ class ContinuousBatcher:
     # ------------------------------------------------------------ state ----
     def _init_state(self):
         cfg, S, B = self.cfg, self.max_seq_len, self.max_slots
-        cache = model.init_kv_cache(cfg, B, S, self.engine._cache_dtype())
+        if self.paged is not None:
+            from .paged_kv import init_paged_cache
+
+            dt = self.engine._cache_dtype()
+            assert not isinstance(dt, str), (
+                "paged pools support int8/float KV caches, not packed int4"
+            )
+            cache = init_paged_cache(
+                cfg, B, S, n_pages=int(self.paged["num_pages"]),
+                page_size=self.page_size, dtype=dt,
+            )
+        else:
+            cache = model.init_kv_cache(cfg, B, S, self.engine._cache_dtype())
         return {
             "tokens": jnp.full((B, S), cfg.end_id, jnp.int32),
             "seq_lens": jnp.zeros((B,), jnp.int32),
@@ -217,8 +249,11 @@ class ContinuousBatcher:
         S = self.max_seq_len
         end_id = self.cfg.end_id
 
+        paged = self.paged is not None
+
         def admit(state, slot, ids, in_len, stop_at, top_k, top_p, temperature,
-                  rep_penalty, pres_penalty, min_length, stop_w, bad_w, olt, seed):
+                  rep_penalty, pres_penalty, min_length, stop_w, bad_w, olt, seed,
+                  pt_row=None):
             row = jnp.full((S,), end_id, jnp.int32)
             row = jax.lax.dynamic_update_slice(row, ids, (0,))
             row = jnp.where(jnp.arange(S) < in_len, row, end_id)
@@ -240,6 +275,10 @@ class ContinuousBatcher:
             st["olt"] = state["olt"].at[slot].set(olt)
             st["base_keys"] = state["base_keys"].at[slot].set(jax.random.PRNGKey(seed))
             st["steps"] = state["steps"].at[slot].set(0)
+            if paged:  # install the slot's reserved pages in the block table
+                cache = dict(state["cache"])
+                cache["pt"] = cache["pt"].at[slot].set(pt_row)
+                st["cache"] = cache
             return st
 
         self._admit_fn = jax.jit(admit, donate_argnums=(0,))
@@ -256,7 +295,7 @@ class ContinuousBatcher:
             cand = list(r.optional_last_tokens)
             assert len(cand) <= self.optional_last_width
             olt[: len(cand)] = cand
-        self._state = self._get_admit_fn()(
+        args = [
             self._state,
             slot,
             jnp.asarray(ids),
@@ -272,7 +311,16 @@ class ContinuousBatcher:
             jnp.asarray(encode_word_list(r.bad_words, self.bad_words_width)),
             jnp.asarray(olt),
             jnp.uint32(r.random_seed),
-        )
+        ]
+        if self.paged is not None:
+            # admission-time reservation: every page this request can ever
+            # touch is allocated now (no mid-flight out-of-pages, no eviction)
+            need = self.allocator.pages_needed(stop_at, self.page_size)
+            r._pages = self.allocator.alloc(need)
+            pt_row = np.zeros((self.max_seq_len // self.page_size,), np.int32)
+            pt_row[: len(r._pages)] = r._pages
+            args.append(jnp.asarray(pt_row))
+        self._state = self._get_admit_fn()(*args)
         r.slot = slot
         # host mirror of the device-side prefill progress (deterministic:
         # chunk() advances every mid-prefill slot by one bucket per tick)
@@ -408,6 +456,17 @@ class ContinuousBatcher:
             # within a class
             nxt = min(range(len(self.pending)),
                       key=lambda i: (self.pending[i].priority, self.pending[i].uid))
+            if self.paged is not None:
+                r = self.pending[nxt]
+                need = self.allocator.pages_needed(
+                    min(len(r.prompt) + r.output_len, self.max_seq_len),
+                    self.page_size,
+                )
+                if not self.allocator.can(need):
+                    # head-of-line blocking (no skip-ahead): running requests
+                    # hold full reservations and WILL release pages, so this
+                    # cannot deadlock, and strict priority order is preserved
+                    break
             self._admit(self.pending.pop(nxt), slot)
         if not self.running:
             return []
@@ -466,6 +525,9 @@ class ContinuousBatcher:
                 r.done = True
                 if r._decoder is not None and t != self.cfg.end_id:
                     r._decoder.append_token(self.cfg.end_id)  # flush tail text
+                if self.paged is not None and r._pages is not None:
+                    self.allocator.release(r._pages)
+                    r._pages = None
                 del self.running[slot]
         return emitted
 

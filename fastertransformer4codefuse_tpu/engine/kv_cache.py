@@ -81,7 +81,12 @@ def packed4(cache_l: Cache, which: str) -> bool:
 
 
 def seq_len_of(cache: Cache) -> int:
-    """Unpacked sequence capacity (packed slabs halve their S axis)."""
+    """Unpacked sequence capacity (packed slabs halve their S axis; paged
+    caches report their LOGICAL capacity n_pages_per_slot * page_size)."""
+    if "pt" in cache:
+        from . import paged_kv as _paged
+
+        return _paged.logical_seq_len(cache)
     if "k_s" in cache:
         return cache["k_s"].shape[-1]
     return cache["k"].shape[-2]
@@ -280,6 +285,12 @@ def write_decode(
       copies per LAYER (profiled 2 x 206 ms/tick at 13B B=8/S=1024 — the real
       cause of the r3 "flash decode in the pool" regression; the Pallas flash
       kernel itself demands canonical operands)."""
+    if "pt" in cache:
+        # paged pool: skip rows write the garbage page (layout-neutral, like
+        # sacrifice_last — see engine/paged_kv.py); skip_mode is moot
+        from . import paged_kv as _paged
+
+        return _paged.write_decode_paged(cache, layer, k, v, positions, skip)
     kt = k[:, 0]  # [B, nH, dh]
     vt = v[:, 0]
     out = dict(cache)
@@ -341,6 +352,10 @@ def write_chunk(
     bool — rows with active=False keep their existing cache bytes (they may be
     mid-generation while other slots chunk-prefill). Used by the continuous
     batcher's chunked admission (the pool analog of write_prefill)."""
+    if "pt" in cache:
+        from . import paged_kv as _paged
+
+        return _paged.write_chunk_paged(cache, layer, k, v, pos, active)
     assert not (packed4(cache, "k") or packed4(cache, "v")), (
         "the continuous batcher requires an unpacked KV cache (int8/bf16): "
         "per-row chunk offsets may straddle int4 position-pair bytes"
@@ -410,7 +425,10 @@ def attend_chunk(
     nKV < nH heads) the g query heads sharing a KV head fold into the query
     axis — the KV bytes are read once per group, never repeated."""
     B, C, nH, dh = q.shape
-    nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
+    if "pt" in cache:
+        nKV = cache["pk"].shape[2]
+    else:
+        nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
     if nH != nKV:
         g = nH // nKV
         qc = (
@@ -424,10 +442,19 @@ def attend_chunk(
             .transpose(0, 1, 3, 2, 4)
             .reshape(B, C, nH, dh)
         )
-    cache_l = _unpack_layer({
-        k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
-        for k, v in cache.items()
-    })
+    if "pt" in cache:
+        # chunk-prefill attention over the paged pool: gather the pages into
+        # a dense per-layer view (leading-axis page gather, layout-neutral —
+        # paged_kv.gather_layer_dense). Only chunk ticks pay this; decode
+        # ticks ride the paged flash kernel without materializing it.
+        from . import paged_kv as _paged
+
+        cache_l = _paged.gather_layer_dense(cache, layer)
+    else:
+        cache_l = _unpack_layer({
+            k: jax.lax.dynamic_index_in_dim(v, layer, axis=0, keepdims=False)
+            for k, v in cache.items()
+        })
     scores = jnp.einsum(
         "bchd,bhsd->bchs", q, cache_l["k"].astype(q.dtype),
         preferred_element_type=jnp.float32,
@@ -602,6 +629,30 @@ def attend_decode(
     The layer dynamic-slice fuses into the contractions (read-only).
     """
     S = seq_len_of(cache)
+    if "pt" in cache:
+        from . import paged_kv as _paged
+
+        assert beam is None, "paged pools do not support beam search"
+        dh = cache["pv"].shape[4]
+        nKV = cache["pk"].shape[2]
+        if (
+            _FLASH_DECODE
+            and positions is not None
+            and dh in (128, 256)
+            and S >= _FLASH_MIN_S[_paged.quantized(cache)]
+            and q.shape[1] % nKV == 0
+        ):
+            from ..ops.flash_decode import flash_decode_paged
+
+            return flash_decode_paged(
+                q, cache["pk"], cache.get("pk_s"), cache["pv"],
+                cache.get("pv_s"), layer, positions, cache["pt"],
+                sm_scale=sm_scale,
+            )
+        # XLA fallback (tiny pools / odd head dims): dense view via the
+        # leading-axis page gather, then the multi-query math below
+        out = attend_chunk(cache, layer, q[:, None], valid[:, None, :], sm_scale)
+        return out[:, 0]
     dh = (cache["v4"] if "v4" in cache else cache["v"]).shape[4]
     nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
     if beam is not None:

@@ -343,6 +343,105 @@ def flash_decode_beam_stacked(
     return out.reshape(BB, nH, dh)
 
 
+@functools.partial(jax.jit, static_argnames=("sm_scale", "hb", "interpret"))
+def flash_decode_paged(
+    q: jax.Array,  # [B, nH, dh] (nH may exceed the pool's KV heads: GQA)
+    pk: jax.Array,  # [L, P, nKV, ps, dh] int8 or float page-pool slab
+    pks,  # [L, P, nKV, ps] scales, or None for float pages
+    pv: jax.Array,
+    pvs,
+    layer: jax.Array,  # scalar
+    positions: jax.Array,  # [B] — newest-token LOGICAL slot (inclusive mask)
+    page_table: jax.Array,  # [B, n_pg] int32 physical page per logical chunk
+    sm_scale: float,
+    hb: int = 40,
+    interpret: bool = False,
+) -> jax.Array:
+    """Block-table decode attention over a PAGED KV pool (engine/paged_kv.py).
+
+    Identical math to flash_decode_stacked — the kernel body is shared — with
+    the sequence-chunk grid resolved through a scalar-prefetched block table:
+    chunk size == page size, and grid step (b, h, s) streams physical page
+    ``page_table[b, min(s, pos_b // ps)]``. The clamp keeps reads
+    length-proportional exactly like the dense kernel (revisited block index
+    -> the Pallas pipeline skips the re-fetch), and the whole-page block keeps
+    the [ps, dh] minor layout canonical — no gather, no relayout pressure at
+    any pool width (the dense pool's batched scatter forces wide pools off
+    the kernel; paged pools never scatter)."""
+    B, nH, dh = q.shape
+    has_scale = pks is not None
+    L, P, nKV, ps, dh2 = pk.shape
+    n_pg = page_table.shape[1]
+    assert (dh, ) == (dh2, ) and nH % nKV == 0
+    g = nH // nKV
+    q = q.reshape(B, nKV, g, dh)
+    hb = next(d for d in range(min(hb, nKV), 0, -1) if nKV % d == 0)
+    # VMEM guard: chunk size is pinned to the page size, so only hb shrinks
+    kv_bytes = 2 * pk.dtype.itemsize
+    while hb > 1 and hb * ps * (dh * kv_bytes + 4 * has_scale) * 2 > 12 * 1024 * 1024:
+        hb = next(d for d in range(hb - 1, 0, -1) if nKV % d == 0)
+    scalars = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        positions.astype(jnp.int32),
+        page_table.astype(jnp.int32).reshape(-1),
+    ])
+
+    def _page(b, s, sr):
+        sc = jnp.minimum(s, sr[1 + b] // ps)  # clamp past the valid prefix
+        return sr[1 + B + b * n_pg + sc]
+
+    kv_spec = pl.BlockSpec(
+        (1, 1, hb, ps, dh), lambda b, h, s, sr: (sr[0], _page(b, s, sr), h, 0, 0)
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, hb, ps), lambda b, h, s, sr: (sr[0], _page(b, s, sr), h, 0)
+    )
+    in_specs = [
+        pl.BlockSpec((1, hb, g, dh), lambda b, h, s, sr: (b, h, 0, 0)),
+        kv_spec,
+    ]
+    operands = [q, pk]
+    if has_scale:
+        in_specs += [sc_spec, kv_spec, sc_spec]
+        operands += [pks, pv, pvs]
+    else:
+        in_specs += [kv_spec]
+        operands += [pv]
+    R = hb * g
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nKV // hb, n_pg),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, hb, g, dh), lambda b, h, s, sr: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, sm_scale=sm_scale, bs=ps, n_s=n_pg, hb=hb, g=g,
+            has_scale=has_scale,
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nKV, g, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * nH * n_pg * ps * dh,
+            bytes_accessed=2 * B * nKV * n_pg * ps * dh * pk.dtype.itemsize,
+            transcendentals=B * nH * n_pg * ps,
+        ),
+        interpret=interpret,
+    )(scalars, *operands)
+    return out.reshape(B, nH, dh)
+
+
 @functools.partial(jax.jit, static_argnames=("sm_scale", "hb", "bs", "interpret"))
 def flash_decode_stacked(
     q: jax.Array,  # [B, nH, dh] bf16 (nH may exceed the cache's KV heads: GQA)

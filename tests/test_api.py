@@ -242,6 +242,53 @@ def test_handler_pooled_matches_static_path():
         pooled.server.close()
 
 
+def test_handler_paged_pool_matches_static_path():
+    """Paged pool (engine/paged_kv.py block tables) behind the handler: same
+    responses as the static path for concurrent requests, and every page back
+    on the free list afterwards."""
+    import threading
+
+    static, pooled, tok = make_pooled_handler(
+        paged=dict(num_pages=20, page_size=8)
+    )
+    try:
+        reqs = [
+            {"prompts": [{"prompt": "quick sort\n", "top_k": 1,
+                          "last_token": "", "stop_words": []}],
+             "out_seq_length": 6},
+            {"prompts": [{"prompt": "hello", "top_k": 1, "last_token": "",
+                          "stop_words": []}], "out_seq_length": 5},
+            {"prompts": [{"prompt": "ab", "top_k": 1, "last_token": "",
+                          "stop_words": []}], "out_seq_length": 8},
+        ]
+        want = []
+        for i, rq in enumerate(reqs):
+            code, err, res = static.predict(rq, f"s{i}")
+            assert code == 0, err
+            want.append(json.loads(res["res"])["generated_code"])
+        got = {}
+
+        def call(i, rq):
+            code, err, res = pooled.predict(rq, f"p{i}")
+            assert code == 0, err
+            got[i] = json.loads(res["res"])["generated_code"]
+
+        ts = [
+            threading.Thread(target=call, args=(i, rq))
+            for i, rq in enumerate(reqs)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=240)
+        assert len(got) == len(reqs)
+        for i, w in enumerate(want):
+            assert got[i] == w, (i, got[i], w)
+        assert pooled.server.batcher.allocator.free_pages == 19
+    finally:
+        pooled.server.close()
+
+
 def test_handler_pooled_interleaves_requests_midflight():
     """Two predict() calls on two threads: the short request entering AFTER
     the long one completes first — the serving capability the reference's
