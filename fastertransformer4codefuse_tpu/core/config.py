@@ -48,6 +48,11 @@ class GptNeoXConfig:
     qkv_bias: bool = False  # bias on the fused QKV ONLY, even when
     # use_bias=False — the Qwen2 family's layout (q/k/v Linears carry bias,
     # o_proj and the MLP do not)
+    position_embedding: str = "rope"  # | "learned": additive absolute
+    # position table (params["pos_embed"] [max_pos, H]) instead of rotary —
+    # the GPT-2/OPT lineage the reference serves via its multi_gpu_gpt
+    # family (src/fastertransformer/models/multi_gpu_gpt). Learned-position
+    # configs set rotary_embedding_dim=0 (apply_rotary no-ops).
     qkv_layout: str = "interleaved"  # fused-QKV column order: "interleaved"
     # (head, qkv, dh — HF GPT-NeoX native) | "concat" ([q all | k all | v all],
     # the only layout possible under GQA where q and kv head counts differ)
@@ -112,6 +117,7 @@ class GptNeoXConfig:
             kv_head_num=int(sec["kv_head_num"]) if "kv_head_num" in sec else None,
             use_bias=sec.get("use_bias", "1") == "1",
             qkv_bias=sec.get("qkv_bias", "0") == "1",
+            position_embedding=sec.get("position_embedding", "rope"),
             qkv_layout=sec.get("qkv_layout", "interleaved"),
         )
 
@@ -147,6 +153,7 @@ class GptNeoXConfig:
             "kv_head_num": None,
             "use_bias": True,
             "qkv_bias": False,
+            "position_embedding": "rope",
             "qkv_layout": "interleaved",
         }
         for key, default in defaults.items():

@@ -393,6 +393,7 @@ def prefill_chunk(
         )
     cos_t, sin_t = rotary_tables
     posc = jnp.clip(pos[:, None] + jnp.arange(C)[None, :], 0, S - 1)  # [B, C]
+    x = _add_pos_embed(config, params, x, posc)
     cos = jnp.take(cos_t, posc, axis=0)  # [B, C, rot/2]
     sin = jnp.take(sin_t, posc, axis=0)
     # query at position pos+c sees keys at positions <= pos+c
@@ -461,6 +462,22 @@ def _embed_lookup(params: Params, ids: jax.Array) -> jax.Array:
     return jnp.take(e, ids, axis=0)
 
 
+def _add_pos_embed(config, params: Params, x: jax.Array, positions) -> jax.Array:
+    """Additive learned absolute position embeddings (GPT-2/OPT lineage —
+    the reference's multi_gpu_gpt position_encoding table,
+    src/fastertransformer/models/multi_gpu_gpt ParallelGpt weight
+    position_encoding_table). positions: [S] or [B, S(, ...)] int32 into
+    params["pos_embed"] [max_pos, H]; table length bounds the model's
+    context (checked statically at trace time)."""
+    if config.position_embedding != "learned":
+        return x
+    table = params["pos_embed"]
+    pe = jnp.take(table, positions, axis=0)
+    if pe.ndim == x.ndim - 1:  # shared [S, H] across the batch
+        pe = pe[None]
+    return x + pe.astype(x.dtype)
+
+
 def prefill(
     config: GptNeoXConfig,
     params: Params,
@@ -472,6 +489,7 @@ def prefill(
     """Full-prompt forward. Returns (hidden [B, S, H], cache with [0,S) filled)."""
     B, S = input_ids.shape
     x = _embed_lookup(params, input_ids)
+    x = _add_pos_embed(config, params, x, jnp.arange(S))
 
     cos_t, sin_t = make_rotary_tables(S, config.rotary_embedding_dim, config.rotary_base)
     mask = make_prefill_mask(input_lengths, S)
@@ -498,6 +516,7 @@ def decode_step(
     B = tokens.shape[0]
     cache_len = kvc.seq_len_of(cache)
     x = _embed_lookup(params, tokens)[:, None, :]  # [B,1,H]
+    x = _add_pos_embed(config, params, x, positions[:, None])
 
     if rotary_tables is None:
         rotary_tables = make_rotary_tables(

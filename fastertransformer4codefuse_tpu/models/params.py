@@ -288,6 +288,12 @@ def _init_params_inner(
     }
     if config.norm != "rmsnorm":
         out["final_ln_b"] = jnp.zeros((H,), dtype)
+    if config.position_embedding == "learned":
+        # additive absolute position table (GPT-2/OPT lineage); 2048 rows
+        # bounds synthetic-model context — converters install the real wpe
+        out["pos_embed"] = (
+            jax.random.normal(next(keys), (2048, H), jnp.float32) * 0.01
+        ).astype(dtype)
     return out
 
 

@@ -48,7 +48,14 @@ def families() -> Dict[str, ModelFamily]:
 
 def _register_builtin() -> None:
     from ..core.config import GptNeoXConfig
-    from ..ckpt import convert, convert_gptj, convert_llama, convert_qwen2
+    from ..ckpt import (
+        convert,
+        convert_gpt2,
+        convert_gptj,
+        convert_llama,
+        convert_qwen2,
+        convert_starcoder,
+    )
     from . import gptneox
 
     register(
@@ -70,6 +77,32 @@ def _register_builtin() -> None:
             config_from_ini=GptNeoXConfig.from_ini,
             config_from_hf=convert_llama.config_from_hf_llama,
             params_from_hf=lambda cfg, sd, dtype="fp32": convert_llama.params_from_hf_llama_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+    register(
+        ModelFamily(
+            name="gpt",  # multi_gpu_gpt analog: GPT-2/OPT learned positions
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert_gpt2.config_from_hf_gpt2,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert_gpt2.params_from_hf_gpt2_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+    register(
+        ModelFamily(
+            name="starcoder",  # GPTBigCode: multi-query + learned positions
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert_starcoder.config_from_hf_starcoder,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert_starcoder.params_from_hf_starcoder_state_dict(
                 cfg, sd, dtype
             ),
             prefill=gptneox.prefill,
