@@ -51,9 +51,11 @@ LAYER_SPECS = {
 
 TOP_SPECS = {
     "embed": P(),  # replicated (gather-heavy; small vs layer weights)
+    "pos_embed": P(),  # learned absolute positions (gpt/starcoder families)
     "final_ln_w": P(),
     "final_ln_b": P(),
     "lm_head": P("tp", None),  # [V, H] vocab-split, like the reference's TP lm head
+    "lm_head_b": P("tp"),  # GPT-J's biased head follows the vocab split
 }
 
 

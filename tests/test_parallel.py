@@ -85,6 +85,37 @@ def test_tp_int4_matches_single_device(group_size):
     np.testing.assert_array_equal(ref.output_ids, out.output_ids)
 
 
+def test_tp_learned_positions_matches_single_device():
+    """gpt/starcoder-style learned absolute positions under TP: pos_embed
+    is replicated, everything else shards as usual."""
+    cfg = GptNeoXConfig.tiny(
+        head_num=8, size_per_head=8, vocab_size=128, inter_size=256,
+        rotary_embedding_dim=0, position_embedding="learned",
+        use_gptj_residual=False, qkv_layout="concat",
+    )
+    params = init_params(cfg, dtype="fp32")
+    assert "pos_embed" in params
+    ref = run_engine(cfg, params)
+    out = run_engine(cfg, params, mesh=build_mesh(tp=2), tp=2)
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
+
+
+def test_tp_qwen2_style_matches_single_device():
+    """Qwen2 signature under TP: GQA concat QKV (replicated, per the
+    uneven-segment rule) with qkv_bias but bias-free proj/MLP."""
+    cfg = GptNeoXConfig.tiny(
+        head_num=8, size_per_head=8, vocab_size=128, inter_size=256,
+        kv_head_num=4, qkv_layout="concat", use_bias=False, qkv_bias=True,
+        norm="rmsnorm", gated_ffn=True, use_gptj_residual=False,
+        activation="silu",
+    )
+    params = init_params(cfg, dtype="fp32")
+    assert "qkv_b" in params["layers"] and "up_b" not in params["layers"]
+    ref = run_engine(cfg, params)
+    out = run_engine(cfg, params, mesh=build_mesh(tp=2), tp=2)
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
+
+
 def test_dp_axis_runs():
     cfg = tiny_cfg()
     params = init_params(cfg, dtype="fp32")
