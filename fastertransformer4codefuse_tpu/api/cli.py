@@ -58,6 +58,12 @@ def main(argv=None):
     parser.add_argument("--pool_seq_len", type=int, default=2048)
     parser.add_argument("--prompt_bucket", type=int, default=128)
     parser.add_argument(
+        "--paged_pages", type=int, default=0, metavar="P",
+        help="with --serve: use the paged KV pool (engine/paged_kv.py) with "
+        "P pages of --page_size positions; 0 = dense per-slot slabs",
+    )
+    parser.add_argument("--page_size", type=int, default=256)
+    parser.add_argument(
         "--http", type=int, default=0, metavar="PORT",
         help="with --serve: expose POST /predict on this port instead of "
         "reading JSONL (api/http_server.py)",
@@ -89,6 +95,12 @@ def main(argv=None):
                 max_slots=args.pool_slots,
                 max_seq_len=args.pool_seq_len,
                 prompt_bucket=args.prompt_bucket,
+                **(
+                    dict(paged=dict(num_pages=args.paged_pages,
+                                    page_size=args.page_size))
+                    if args.paged_pages
+                    else {}
+                ),
             )
             if args.serve
             else None
