@@ -38,20 +38,24 @@ from ..models.params import Params
 
 # call order of ops.linear.linear inside one transformer block
 _BLOCK_CALL_ORDER = ("qkv", "proj", "up", "down")
+# gated blocks (SwiGLU) make FIVE linear calls: _ffn runs gate, then up
+_BLOCK_CALL_ORDER_GATED = ("qkv", "proj", "gate", "up", "down")
 
 
 @contextlib.contextmanager
-def _record_linear_inputs(sink: Dict[str, List[np.ndarray]]):
+def _record_linear_inputs(sink: Dict[str, List[np.ndarray]], order=None):
     """Patch the model's ``linear`` to record each call's input-channel amax.
 
-    Calls inside a block arrive in _BLOCK_CALL_ORDER (qkv -> proj -> up ->
-    down); the recorder keys them by position. Only works on an UNROLLED
-    (eager) forward — under lax.scan the values are tracers."""
+    Calls inside a block arrive in ``order`` (default _BLOCK_CALL_ORDER:
+    qkv -> proj -> up -> down); the recorder keys them by position. Only
+    works on an UNROLLED (eager) forward — under lax.scan the values are
+    tracers."""
+    order = order or _BLOCK_CALL_ORDER
     real = model.linear
     count = [0]
 
     def recording(x, w, *args, **kwargs):
-        name = _BLOCK_CALL_ORDER[count[0] % len(_BLOCK_CALL_ORDER)]
+        name = order[count[0] % len(order)]
         count[0] += 1
         amax = np.asarray(
             jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1)))
@@ -87,7 +91,10 @@ def collect_activation_stats(
             ids[i, : len(row)] = np.asarray(row, np.int32)
         cache = model.init_kv_cache(config, len(batch), S, cache_dtype)
         sink: Dict[str, List[np.ndarray]] = {}
-        with _record_linear_inputs(sink):
+        order = (
+            _BLOCK_CALL_ORDER_GATED if config.gated_ffn else _BLOCK_CALL_ORDER
+        )
+        with _record_linear_inputs(sink, order):
             model.prefill(
                 config, params, jnp.asarray(ids), jnp.asarray(lens), cache,
                 unroll=True,

@@ -261,6 +261,13 @@ class RuntimeConfig:
 
     dtype: str = "bf16"
     int8_mode: int = 0
+    # SmoothQuant W8A8: batch-wide GEMMs (prefill / chunked prefill) quantize
+    # activations per token and run int8xint8 MXU dots against the int8
+    # weights — the reference's int8_mode=2 semantics (its gptneox family
+    # never wired it; SURVEY §2.2). Requires int8 per-channel weights
+    # (int8_mode=1); prepare checkpoints with ckpt.smoothquant's fold for
+    # best accuracy. Decode-width calls stay weight-only (weight-bound).
+    act_int8: bool = False
     kv_cache_dtype: Optional[str] = None
     max_batch_size: int = 8
     max_seq_len: int = 2048

@@ -168,6 +168,9 @@ class GptNeoXEngine:
         backend = jax.default_backend()
         set_use_pallas(self.runtime.use_pallas and backend == "tpu")
         set_on_tpu(backend == "tpu")
+        from ..ops.linear import set_act_int8
+
+        set_act_int8(self.runtime.act_int8)
         set_flash_prefill(self.runtime.use_flash_prefill and backend == "tpu")
         from .kv_cache import set_flash_decode
 

@@ -13,6 +13,7 @@ the fp32 accumulator — either via a fused Pallas kernel
 """
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
@@ -76,6 +77,47 @@ def quantized_matmul_xla(x: jax.Array, w: QuantizedTensor) -> jax.Array:
     return y.astype(x.dtype).reshape(out_shape)
 
 
+# SmoothQuant-style activation-int8 GEMMs (the reference's int8_mode=2
+# semantics — ckpt/smoothquant.py). Engine-set via RuntimeConfig.act_int8.
+_ACT_INT8 = False
+# Calls narrower than this stay on the weight-only path: decode-width GEMMs
+# are weight-bytes-bound, so activation quantization saves nothing there and
+# the per-token quant ops are pure overhead. Prefill/chunk calls (M = B*S)
+# clear the bar and ride the 2x-rate int8xint8 MXU dot.
+_A8_MIN_M = 16
+
+
+def set_act_int8(flag: bool) -> None:
+    global _ACT_INT8
+    _ACT_INT8 = bool(flag)
+
+
+def w8a8_matmul(
+    x2d: jax.Array,  # [M, K] float
+    q: jax.Array,  # [K, N] int8 (per-output-channel scales)
+    scale: jax.Array,  # [N]
+    bias=None,
+    act=None,
+    out_dtype=None,
+) -> jax.Array:
+    """Per-token dynamic activation int8 + int8xint8 MXU dot + fp32 requant.
+
+    y = (round(x / s_x) @ q) * s_x * scale — both scale factors commute out
+    of the int32 accumulator. The int8 dot runs at 2x the bf16 MXU rate on
+    TPU; accuracy rides the SmoothQuant fold (per-token s_x absorbs what the
+    fold moved out of the activations)."""
+    xf = x2d.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=1)
+    s_x = jnp.where(amax > 0, amax / 127.0, 1.0)
+    x8 = jnp.round(xf / s_x[:, None]).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * s_x[:, None] * scale[None, :].astype(jnp.float32)
+    y = y.astype(out_dtype if out_dtype is not None else x2d.dtype)
+    return _bias_act_xla(y, bias, act)
+
+
 def _bias_act_xla(y: jax.Array, bias, act) -> jax.Array:
     """Plain-XLA bias + activation (fuses into the surrounding computation on
     any backend); the Pallas kernels absorb these in their epilogue instead."""
@@ -102,6 +144,31 @@ def quantized_matmul(
     cannot fuse into a Pallas custom call and would materialize a full
     per-GEMM weight copy."""
     stacked = layer is not None and w.q.ndim == 3
+    if (
+        _ACT_INT8
+        and w.bits == 8
+        and not w.group_size
+        and math.prod(x.shape[:-1]) >= _A8_MIN_M
+    ):
+        # SmoothQuant W8A8 (batch-wide calls only — see _A8_MIN_M). The
+        # stacked weight's layer slice is a leading-axis dynamic-slice
+        # feeding a plain dot; XLA fuses it (unlike a Pallas custom call).
+        if stacked:
+            q = jax.lax.dynamic_index_in_dim(w.q, layer, 0, keepdims=False)
+            scale = jax.lax.dynamic_index_in_dim(
+                w.scale, layer, 0, keepdims=False
+            )
+        else:
+            q, scale = _as_2d_weight(w)
+        b = bias
+        if b is not None and b.ndim == 3:
+            b = b[layer, 0]
+        out_shape = x.shape[:-1] + w.q.shape[2 if stacked else 1:]
+        y = w8a8_matmul(
+            x.reshape(-1, x.shape[-1]), q, scale, bias=b, act=act,
+            out_dtype=x.dtype,
+        )
+        return y.reshape(out_shape)
     if stacked and _ON_TPU:
         from .quant_matmul_w4 import PALLAS_FUSABLE_ACTS, apply_act
 
