@@ -48,6 +48,14 @@ class GptNeoXConfig:
     qkv_bias: bool = False  # bias on the fused QKV ONLY, even when
     # use_bias=False — the Qwen2 family's layout (q/k/v Linears carry bias,
     # o_proj and the MLP do not)
+    # --- Mixture-of-Experts (Mixtral family) ---
+    moe_experts: int = 0  # 0 = dense FFN; >0 = MoE with this many experts
+    moe_top_k: int = 2  # experts per token
+    # inference capacity factor: each expert's bucket holds
+    # ceil(T * top_k / E * factor) tokens per call; overflow tokens drop
+    # that expert's contribution (renormalized over survivors). 2.0 keeps
+    # drops negligible at the batch sizes served here.
+    moe_capacity_factor: float = 2.0
     position_embedding: str = "rope"  # | "learned": additive absolute
     # position table (params["pos_embed"] [max_pos, H]) instead of rotary —
     # the GPT-2/OPT lineage the reference serves via its multi_gpu_gpt
@@ -118,6 +126,9 @@ class GptNeoXConfig:
             use_bias=sec.get("use_bias", "1") == "1",
             qkv_bias=sec.get("qkv_bias", "0") == "1",
             position_embedding=sec.get("position_embedding", "rope"),
+            moe_experts=int(sec.get("moe_experts", "0")),
+            moe_top_k=int(sec.get("moe_top_k", "2")),
+            moe_capacity_factor=float(sec.get("moe_capacity_factor", "2.0")),
             qkv_layout=sec.get("qkv_layout", "interleaved"),
         )
 
@@ -154,6 +165,9 @@ class GptNeoXConfig:
             "use_bias": True,
             "qkv_bias": False,
             "position_embedding": "rope",
+            "moe_experts": 0,
+            "moe_top_k": 2,
+            "moe_capacity_factor": 2.0,
             "qkv_layout": "interleaved",
         }
         for key, default in defaults.items():

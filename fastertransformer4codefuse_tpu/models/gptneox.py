@@ -199,6 +199,18 @@ def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
 
 
 def _ffn(config: GptNeoXConfig, lp, x, layer=None):
+    if config.moe_experts:
+        # Mixture-of-Experts FFN (Mixtral family): top-k routed expert GEMMs
+        # with the E axis sharded under expert parallelism (ops/moe.py)
+        from ..ops.moe import moe_ffn
+
+        B, S, H = x.shape
+        y = moe_ffn(
+            x.reshape(-1, H), lp["router_w"], lp.get("egate_w"),
+            lp["eup_w"], lp["edown_w"], config.moe_top_k,
+            config.moe_capacity_factor, act=config.activation,
+        )
+        return y.reshape(B, S, H)
     # bias + activation fuse into the up-GEMM (Pallas epilogue on TPU, XLA
     # fusion elsewhere) = the reference's invokeAddBiasGeluV2 epilogue;
     # stacked [L, 1, N] bias view when the decode scan provides it

@@ -239,19 +239,30 @@ def _init_params_inner(
         "qkv_w": maybe_quant(next(keys), (L, H, config.qkv_cols), k_axis=-2),
         "proj_w": maybe_quant(next(keys), (L, nH * dh, H), k_axis=-2),
         "ln2_w": jnp.ones((L, H), dtype),
-        "up_w": maybe_quant(next(keys), (L, H, I), k_axis=-2),
-        "down_w": maybe_quant(next(keys), (L, I, H), k_axis=-2),
     }
-    if config.gated_ffn:
-        layers["gate_w"] = maybe_quant(next(keys), (L, H, I), k_axis=-2)
+    if config.moe_experts:
+        # MoE (Mixtral family): router + expert-stacked FFN weights, fp —
+        # the E axis shards under expert parallelism (parallel/sharding.py)
+        E = config.moe_experts
+        layers["router_w"] = dense(next(keys), (L, H, E))
+        layers["eup_w"] = dense(next(keys), (L, E, H, I))
+        layers["edown_w"] = dense(next(keys), (L, E, I, H))
+        if config.gated_ffn:
+            layers["egate_w"] = dense(next(keys), (L, E, H, I))
+    else:
+        layers["up_w"] = maybe_quant(next(keys), (L, H, I), k_axis=-2)
+        layers["down_w"] = maybe_quant(next(keys), (L, I, H), k_axis=-2)
+        if config.gated_ffn:
+            layers["gate_w"] = maybe_quant(next(keys), (L, H, I), k_axis=-2)
     if config.norm != "rmsnorm":
         layers["ln1_b"] = jnp.zeros((L, H), dtype)
         layers["ln2_b"] = jnp.zeros((L, H), dtype)
     if config.use_bias or config.qkv_bias:
         layers["qkv_b"] = jnp.zeros((L, config.qkv_cols), dtype)
     if config.use_bias:
-        layers["up_b"] = jnp.zeros((L, I), dtype)
-        layers["down_b"] = jnp.zeros((L, H), dtype)
+        if not config.moe_experts:  # expert FFNs are bias-free (Mixtral)
+            layers["up_b"] = jnp.zeros((L, I), dtype)
+            layers["down_b"] = jnp.zeros((L, H), dtype)
         if not config.use_gptj_residual:
             layers["proj_b"] = jnp.zeros((L, H), dtype)
 

@@ -53,6 +53,7 @@ def _register_builtin() -> None:
         convert_gpt2,
         convert_gptj,
         convert_llama,
+        convert_mixtral,
         convert_qwen2,
         convert_starcoder,
     )
@@ -90,6 +91,19 @@ def _register_builtin() -> None:
             config_from_ini=GptNeoXConfig.from_ini,
             config_from_hf=convert_gpt2.config_from_hf_gpt2,
             params_from_hf=lambda cfg, sd, dtype="fp32": convert_gpt2.params_from_hf_gpt2_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+    register(
+        ModelFamily(
+            name="mixtral",  # sparse MoE: top-2 routed experts, EP sharding
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert_mixtral.config_from_hf_mixtral,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert_mixtral.params_from_hf_mixtral_state_dict(
                 cfg, sd, dtype
             ),
             prefill=gptneox.prefill,

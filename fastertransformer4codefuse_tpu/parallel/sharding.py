@@ -47,6 +47,16 @@ LAYER_SPECS = {
     "down_w": P("pp", "tp", None),  # [L, I, H]
     "down_b": P("pp"),
     "gate_w": P("pp", None, "tp"),  # [L, H, I] SwiGLU gate — column split like up
+    # --- MoE (Mixtral family): EXPERT PARALLELISM over the tp axis ---
+    # Each device holds E/tp whole experts; the batched expert GEMMs
+    # (ops/moe.py einsums over the E axis) stay device-local and XLA derives
+    # the token dispatch/combine collectives from the einsum structure —
+    # the GSPMD form of the reference's expert-parallel MoE
+    # (src/fastertransformer/kernels/moe_kernels.cu + its EP plumbing).
+    "router_w": P("pp"),  # [L, H, E] — tiny, replicated
+    "eup_w": P("pp", "tp", None, None),  # [L, E, H, I]
+    "egate_w": P("pp", "tp", None, None),
+    "edown_w": P("pp", "tp", None, None),  # [L, E, I, H]
 }
 
 TOP_SPECS = {
