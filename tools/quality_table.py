@@ -65,6 +65,17 @@ def main():
     variants["fp32"] = (params, 0, None)
     variants["int8"] = (quantize_params(params), 1, None)
     variants["int8 + int8 KV"] = (variants["int8"][0], 1, "int8")
+    # SmoothQuant W8A8: smoothing fold + per-token activation int8 on
+    # batch-wide GEMMs (ops/linear.w8a8_matmul; NLL evaluates prefill, which
+    # is exactly the path act_int8 switches)
+    from fastertransformer4codefuse_tpu.ckpt.smoothquant import (
+        apply_smoothquant_scaling,
+    )
+
+    print("collecting SmoothQuant activation stats...", flush=True)
+    sq_stats = collect_activation_stats(cfg, params, calib)
+    sq = apply_smoothquant_scaling(cfg, params, sq_stats)
+    variants["int8 W8A8 (SmoothQuant)"] = (quantize_params(sq), 1, None)
     variants["int4 per-channel"] = (
         quantize_params(params, weight_bits=4), 1, None,
     )
@@ -87,11 +98,12 @@ def main():
         held[i * 64 : i * 64 + 64].tolist() for i in range(args.prompts)
     ]
 
-    def engine(p, mode, kv):
+    def engine(p, mode, kv, a8=False):
         return GptNeoXEngine(
             cfg, p,
             RuntimeConfig(
-                dtype="fp32", int8_mode=mode, kv_cache_dtype=kv, seq_bucket=64
+                dtype="fp32", int8_mode=mode, kv_cache_dtype=kv, seq_bucket=64,
+                act_int8=a8,
             ),
         )
 
@@ -106,17 +118,25 @@ def main():
     dec_fp = eval_decode_nll(cfg, params, dec_ids, jnp.bfloat16)
     print(f"decode-path fp32/bf16KV NLL baseline: {dec_fp:.4f}", flush=True)
 
+    from fastertransformer4codefuse_tpu.ops import linear as lin
+
     rows = []
     nll_fp = None
     for name, (p, mode, kv) in variants.items():
-        nll = eval_nll(cfg, p, nll_ids)
-        if nll_fp is None:
-            nll_fp = nll
-            agree = 1.0
-        else:
-            agree = greedy_agreement(
-                eng_fp, engine(p, mode, kv), prompts, output_len=args.gen_len
-            )
+        a8 = "W8A8" in name
+        lin.set_act_int8(a8)
+        try:
+            nll = eval_nll(cfg, p, nll_ids)
+            if nll_fp is None:
+                nll_fp = nll
+                agree = 1.0
+            else:
+                agree = greedy_agreement(
+                    eng_fp, engine(p, mode, kv, a8), prompts,
+                    output_len=args.gen_len,
+                )
+        finally:
+            lin.set_act_int8(False)
         dec_d = None
         if kv is not None:
             kv_dt = jnp.int8 if kv == "int8" else kv
