@@ -113,6 +113,7 @@ class ContinuousBatcher:
         return_log_probs: bool = False,
         flash_decode: str = "on",  # | "off" ("pinned" = legacy alias of on)
         paged: Optional[dict] = None,  # {"num_pages": P, "page_size": 256}
+        pipeline_ticks: bool = False,  # overlap host sync with the next tick
     ):
         assert max_seq_len % prompt_bucket == 0, "max_seq_len must be a multiple of prompt_bucket"
         if flash_decode == "pinned":
@@ -180,6 +181,8 @@ class ContinuousBatcher:
         # layout conflict (see kv_cache.write_decode). kv_cache's own
         # S/dh gates still route tiny caches to the XLA path.
         self.flash_decode = flash_decode
+        self.pipeline_ticks = pipeline_ticks
+        self._inflight: List[tuple] = []  # dispatched, not-yet-fetched ticks
         self._state = self._init_state()
 
     # ------------------------------------------------------------ state ----
@@ -448,7 +451,29 @@ class ContinuousBatcher:
     def step(self) -> List[Tuple[int, int, bool]]:
         """Admit pending requests into free slots, advance chunked prefills by
         one chunk, run one decode tick. Returns [(uid, token, finished)] for
-        slots that produced a token this tick."""
+        slots that produced a token this tick.
+
+        ``pipeline_ticks`` mode: the new tick DISPATCHES before the previous
+        tick's results are fetched, so the device-to-host sync (≈30 ms
+        through the axon tunnel) overlaps the next tick's compute instead of
+        serializing with it. Emissions therefore lag one tick; attribution
+        stays correct because a slot in transition (finished request, not
+        yet re-admitted) reports ready=False on the in-flight tick."""
+        if not self.pipeline_ticks:
+            self._admit_pending()
+            out = self._dispatch_tick()
+            if out is None:
+                return []
+            return self._process_results(jax.device_get(out))
+        self._admit_pending()
+        out = self._dispatch_tick()
+        if out is not None:
+            self._inflight.append(out)
+        if not self._inflight:
+            return []
+        return self._process_results(jax.device_get(self._inflight.pop(0)))
+
+    def _admit_pending(self) -> None:
         for slot in self._free_slots():
             if not self.pending:
                 break
@@ -468,8 +493,12 @@ class ContinuousBatcher:
                     # cannot deadlock, and strict priority order is preserved
                     break
             self._admit(self.pending.pop(nxt), slot)
+
+    def _dispatch_tick(self):
+        """Enqueue chunk (if needed) + one decode tick on the device; returns
+        the tick's device result tuple, or None when nothing is running."""
         if not self.running:
-            return []
+            return None
 
         state = self._state
         # one prefill chunk for any mid-prefill slot, overlapping with decode
@@ -499,8 +528,10 @@ class ContinuousBatcher:
                 self._state, tok, lp, finished, ready = self._get_step_fn()(
                     self.engine.params, state
                 )
-        tok_h, lp_h, fin_h, ready_h = jax.device_get((tok, lp, finished, ready))
+        return (tok, lp, finished, ready)
 
+    def _process_results(self, fetched) -> List[Tuple[int, int, bool]]:
+        tok_h, lp_h, fin_h, ready_h = fetched
         emitted = []
         for slot, r in list(self.running.items()):
             if not bool(ready_h[slot]):
@@ -535,7 +566,7 @@ class ContinuousBatcher:
         """Drive until every submitted request completes; returns uid->Request
         for every request ever submitted (including earlier-finished ones)."""
         for _ in range(max_ticks):
-            if not self.pending and not self.running:
+            if not self.pending and not self.running and not self._inflight:
                 break
             self.step()
         return dict(self.requests)

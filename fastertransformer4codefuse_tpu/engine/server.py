@@ -102,7 +102,7 @@ class BatchingServer:
         try:
             while not self._shutdown:
                 self._drain_mailbox()
-                if not (b.pending or b.running):
+                if not (b.pending or b.running or b._inflight):
                     self._wake.wait()
                     self._wake.clear()
                     continue

@@ -331,3 +331,54 @@ def test_multi_pool_server_routes_by_length():
             srv.submit(list(range(2, 40)), 40, top_k=1)  # exceeds every class
     finally:
         srv.close()
+
+
+def test_pipelined_ticks_match_sync_mode():
+    """pipeline_ticks=True (dispatch before fetch — hides the device sync)
+    must produce identical per-request outputs to the synchronous pool and
+    the one-shot engine, including mid-stream admission and slot reuse."""
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+
+    prompts = [[3, 4, 5], [9, 8, 7, 6, 5], [11, 12], [20, 21, 22, 23]]
+    out_lens = [5, 4, 6, 3]
+    refs = []
+    for p, ol in zip(prompts, out_lens):
+        o = eng.generate([p], output_len=ol, top_k=1)
+        n = int(o.sequence_lengths[0, 0])
+        refs.append([int(x) for x in o.output_ids[0, 0, :n]])
+
+    cb = ContinuousBatcher(
+        eng, max_slots=2, max_seq_len=32, prompt_bucket=8, pipeline_ticks=True
+    )
+    uids = [cb.submit(p, ol, top_k=1) for p, ol in zip(prompts, out_lens)]
+    done = cb.run(max_ticks=300)
+    for uid, ref in zip(uids, refs):
+        r = done[uid]
+        assert r.done, f"request {uid} never finished"
+        assert r.output_ids == ref, (uid, r.output_ids, ref)
+    assert not cb._inflight  # fully drained
+
+
+def test_pipelined_paged_pool():
+    """pipeline_ticks composes with the paged pool (page release happens at
+    fetch time, one tick late — reservation accounting must still balance)."""
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    prompts = [[3, 4, 5], [9, 8, 7, 6, 5], [11, 12]]
+    refs = []
+    for p in prompts:
+        o = eng.generate([p], output_len=5, top_k=1)
+        n = int(o.sequence_lengths[0, 0])
+        refs.append([int(x) for x in o.output_ids[0, 0, :n]])
+    cb = ContinuousBatcher(
+        eng, max_slots=2, max_seq_len=32, prompt_bucket=8,
+        pipeline_ticks=True, paged=dict(num_pages=10, page_size=8),
+    )
+    uids = [cb.submit(p, 5, top_k=1) for p in prompts]
+    done = cb.run(max_ticks=300)
+    for uid, ref in zip(uids, refs):
+        assert done[uid].output_ids == ref
+    assert cb.allocator.free_pages == 9

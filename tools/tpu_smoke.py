@@ -343,6 +343,54 @@ def main():
     assert cbp.allocator.free_pages == 9
     print("paged batcher ok:", donep[uidp].output_ids[len(prompt):])
 
+    # --- MoE (Mixtral-style) block on real hardware --------------------------
+    from fastertransformer4codefuse_tpu import (
+        GptNeoXConfig as _Cfg,
+        init_params as _initp,
+    )
+
+    cfg_moe = _Cfg.tiny(
+        head_num=8, size_per_head=128, vocab_size=1024, inter_size=512,
+        norm="rmsnorm", gated_ffn=True, use_bias=False, qkv_layout="concat",
+        kv_head_num=4, use_gptj_residual=False, activation="silu",
+        moe_experts=4, moe_top_k=2,
+    )
+    pm = _initp(cfg_moe, dtype="bf16")
+    eng_moe = GptNeoXEngine(
+        cfg_moe, pm, RuntimeConfig(dtype="bf16", seq_bucket=8)
+    )
+    om = eng_moe.generate([prompt], output_len=6, top_k=1)
+    assert int(om.sequence_lengths[0, 0]) >= len(prompt) + 1
+    # routing must actually split tokens: greedy differs from a router-bypass
+    # (all-weights-to-expert-0) variant
+    import jax.numpy as _jnp
+
+    pm2 = dict(pm)
+    pm2["layers"] = dict(pm["layers"])
+    pm2["layers"]["router_w"] = (
+        _jnp.zeros_like(pm["layers"]["router_w"])
+        .at[:, :, 0].set(100.0)
+    )
+    eng_m2 = GptNeoXEngine(
+        cfg_moe, pm2, RuntimeConfig(dtype="bf16", seq_bucket=8)
+    )
+    om2 = eng_m2.generate([prompt], output_len=6, top_k=1)
+    print("moe ok:", om.output_ids[0, 0, len(prompt):].tolist(),
+          "router-pinned differs:",
+          om.output_ids[0, 0].tolist() != om2.output_ids[0, 0].tolist())
+
+    # --- speculative decoding on real hardware -------------------------------
+    from fastertransformer4codefuse_tpu.engine.speculative import (
+        speculative_generate,
+    )
+
+    eng_sp = GptNeoXEngine(cfg, params_fp, RuntimeConfig(dtype="bf16", seq_bucket=8))
+    sp_prompt = prompt * 4
+    toks, st = speculative_generate(eng_sp, sp_prompt, 12, k=4)
+    assert len(toks) > len(sp_prompt)
+    print(f"speculative ok: {st.tokens_per_step:.2f} tok/step "
+          f"({st.accepted} accepted)")
+
     # --- streaming == batch; beam; batcher ----------------------------------
     eng = GptNeoXEngine(cfg, params_fp, RuntimeConfig(dtype="bf16", seq_bucket=8))
     stream_toks = []
