@@ -81,6 +81,10 @@ def collect_activation_stats(
 
     Returns {"qkv": [L, H], "proj": [L, H], "up": [L, H], "down": [L, I]}
     (running max over all batches/tokens)."""
+    assert not config.moe_experts, (
+        "the positional linear-call recorder assumes the dense block's call "
+        "order; MoE blocks run batched expert einsums it never sees"
+    )
     L = config.layer_num
     stats: Dict[str, np.ndarray] = {}
     for batch in token_batches:

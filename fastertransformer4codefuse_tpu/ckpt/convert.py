@@ -37,6 +37,26 @@ def _np(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
+def stack_layers(fn, num_layers: int, dtype):
+    """jnp-stack per-layer numpy tensors: [L, ...] in the engine dtype
+    (shared by the LLaMA-lineage converters)."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(np.stack([fn(i) for i in range(num_layers)]), dtype)
+
+
+def fused_qkv_concat(get, i: int) -> np.ndarray:
+    """HF separate q/k/v Linears [out, H] -> the engine's fused
+    [H, q_all | k_all | v_all] (qkv_layout="concat"; LLaMA / Qwen2 /
+    Mixtral share the model.layers.{i}.self_attn naming)."""
+    p = f"model.layers.{i}.self_attn."
+    return np.concatenate(
+        [get(p + "q_proj.weight").T, get(p + "k_proj.weight").T,
+         get(p + "v_proj.weight").T],
+        axis=1,
+    )
+
+
 def config_from_hf(hf_config, model_name: str = "gptneox") -> GptNeoXConfig:
     """Build a GptNeoXConfig from a transformers GPTNeoXConfig
     (field mapping per huggingface_convert.py:100-119)."""

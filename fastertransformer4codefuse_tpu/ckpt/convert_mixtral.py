@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from ..core.config import GptNeoXConfig
 from ..core.dtypes import jnp_dtype
 from ..models.params import Params
-from .convert import _np
+from .convert import _np, fused_qkv_concat, stack_layers
 
 
 def config_from_hf_mixtral(hf_config, model_name: str = "mixtral") -> GptNeoXConfig:
@@ -65,12 +65,7 @@ def params_from_hf_mixtral_state_dict(
         return _np(sd[name])
 
     def fused_qkv(i):
-        p = f"model.layers.{i}.self_attn."
-        return np.concatenate(
-            [get(p + "q_proj.weight").T, get(p + "k_proj.weight").T,
-             get(p + "v_proj.weight").T],
-            axis=1,
-        )
+        return fused_qkv_concat(get, i)
 
     def experts(i, which):  # w1 = gate, w2 = down, w3 = up
         p = f"model.layers.{i}.block_sparse_moe.experts."
@@ -79,7 +74,7 @@ def params_from_hf_mixtral_state_dict(
         )  # [E, in, out]
 
     def stack(fn):
-        return jnp.asarray(np.stack([fn(i) for i in range(L)]), dtype)
+        return stack_layers(fn, L, dtype)
 
     layers = {
         "ln1_w": stack(lambda i: get(f"model.layers.{i}.input_layernorm.weight")),

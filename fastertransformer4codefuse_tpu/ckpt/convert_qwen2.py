@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..core.config import GptNeoXConfig
 from ..core.dtypes import jnp_dtype
 from ..models.params import Params
-from .convert import _np
+from .convert import _np, fused_qkv_concat, stack_layers
 
 
 def config_from_hf_qwen2(hf_config, model_name: str = "qwen2") -> GptNeoXConfig:
@@ -67,13 +67,7 @@ def params_from_hf_qwen2_state_dict(
         return _np(sd[name])
 
     def fused_qkv(i):
-        # separate q/k/v Linears [out, H] -> [H, q_all | k_all | v_all]
-        p = f"model.layers.{i}.self_attn."
-        return np.concatenate(
-            [get(p + "q_proj.weight").T, get(p + "k_proj.weight").T,
-             get(p + "v_proj.weight").T],
-            axis=1,
-        )
+        return fused_qkv_concat(get, i)
 
     def fused_qkv_bias(i):
         p = f"model.layers.{i}.self_attn."
@@ -83,7 +77,7 @@ def params_from_hf_qwen2_state_dict(
         )
 
     def stack(fn):
-        return jnp.asarray(np.stack([fn(i) for i in range(L)]), dtype)
+        return stack_layers(fn, L, dtype)
 
     layers = {
         "ln1_w": stack(lambda i: get(f"model.layers.{i}.input_layernorm.weight")),

@@ -63,6 +63,11 @@ def apply_smoothquant_scaling(
 ) -> Params:
     """Fold SmoothQuant factors into the norm affines — fp-forward-EXACT
     (tested): quantize with ckpt.quantize.quantize_params afterwards."""
+    assert not config.moe_experts, (
+        "SmoothQuant folding targets dense FFN blocks; MoE expert weights "
+        "(egate_w/eup_w) are not covered (and the positional calibration "
+        "recorder does not see MoE's batched expert GEMMs)"
+    )
     layers = dict(params["layers"])
     L = config.layer_num
     groups = [("ln1", ["qkv_w"], "qkv")]

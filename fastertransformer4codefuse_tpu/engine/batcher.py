@@ -471,6 +471,11 @@ class ContinuousBatcher:
             self._inflight.append(out)
         if not self._inflight:
             return []
+        if out is not None and len(self._inflight) == 1:
+            # the freshly dispatched tick STAYS in flight — fetching it now
+            # would serialize exactly like sync mode. It is fetched on the
+            # next call, after that call's dispatch keeps the device busy.
+            return []
         return self._process_results(jax.device_get(self._inflight.pop(0)))
 
     def _admit_pending(self) -> None:

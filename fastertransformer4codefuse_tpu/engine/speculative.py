@@ -167,6 +167,8 @@ def speculative_generate(
     dispatches total: the prompt prefill and the speculation while_loop."""
     cfg = engine.config
     params = engine.params
+    if output_len <= 0:
+        return list(prompt), SpecStats()
     C = k + 1
     in_len = len(prompt)
     S = in_len + output_len + C + 1

@@ -198,10 +198,12 @@ def _qkv(config: GptNeoXConfig, lp, x, cos, sin, layer=None):
     return q, k, v
 
 
-def _ffn(config: GptNeoXConfig, lp, x, layer=None):
+def _ffn(config: GptNeoXConfig, lp, x, layer=None, token_valid=None):
     if config.moe_experts:
         # Mixture-of-Experts FFN (Mixtral family): top-k routed expert GEMMs
-        # with the E axis sharded under expert parallelism (ops/moe.py)
+        # with the E axis sharded under expert parallelism (ops/moe.py).
+        # token_valid [B, S] keeps padding / inactive-slot tokens from
+        # consuming expert capacity that belongs to real tokens.
         from ..ops.moe import moe_ffn
 
         B, S, H = x.shape
@@ -209,6 +211,7 @@ def _ffn(config: GptNeoXConfig, lp, x, layer=None):
             x.reshape(-1, H), lp["router_w"], lp.get("egate_w"),
             lp["eup_w"], lp["edown_w"], config.moe_top_k,
             config.moe_capacity_factor, act=config.activation,
+            valid=None if token_valid is None else token_valid.reshape(-1),
         )
         return y.reshape(B, S, H)
     # bias + activation fuse into the up-GEMM (Pallas epilogue on TPU, XLA
@@ -251,16 +254,21 @@ def block_prefill(
     attn = prefill_attention(q, k, v, mask, sm_scale, input_lengths)  # [B, S, nH, dh]
     attn_out = linear(attn.reshape(B, S, H), lp["proj_w"], layer=layer)
 
+    tv = None
+    if config.moe_experts:  # keep padding out of the MoE capacity buckets
+        tv = jnp.arange(S)[None, :] < input_lengths[:, None]
     if config.use_gptj_residual:
         ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
-        ffn_out = _ffn(config, lp, ln2, layer)
+        ffn_out = _ffn(config, lp, ln2, layer, token_valid=tv)
         # single fused residual: x + attn + ffn + summed bias
         # (= invokeAddBiasAttentionFfnResidual, add_residual_kernels.cu)
         out = _addb(x + attn_out + ffn_out, lp.get("down_b"))
     else:
         h = _addb(x + attn_out, lp.get("proj_b"))
         ln2 = _norm(config, h, lp["ln2_w"], lp.get("ln2_b"))
-        out = _addb(h + _ffn(config, lp, ln2, layer), lp.get("down_b"))
+        out = _addb(
+            h + _ffn(config, lp, ln2, layer, token_valid=tv), lp.get("down_b")
+        )
     return out, cache
 
 
@@ -331,14 +339,19 @@ def block_decode(
 
     attn_out = linear(attn.reshape(B, 1, H), lp["proj_w"], layer=layer)
 
+    tv = None
+    if config.moe_experts and kv_skip is not None:
+        tv = (~kv_skip)[:, None]  # inactive pool slots skip MoE capacity
     if config.use_gptj_residual:
         ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
-        ffn_out = _ffn(config, lp, ln2, layer)
+        ffn_out = _ffn(config, lp, ln2, layer, token_valid=tv)
         out = _addb(x + attn_out + ffn_out, lp.get("down_b"))
     else:
         h = _addb(x + attn_out, lp.get("proj_b"))
         ln2 = _norm(config, h, lp["ln2_w"], lp.get("ln2_b"))
-        out = _addb(h + _ffn(config, lp, ln2, layer), lp.get("down_b"))
+        out = _addb(
+            h + _ffn(config, lp, ln2, layer, token_valid=tv), lp.get("down_b")
+        )
     return out, cache
 
 
@@ -369,14 +382,19 @@ def block_prefill_chunk(
     attn = kvc.attend_chunk(cache, layer, q, valid, sm_scale)  # [B, C, nH, dh]
     attn_out = linear(attn.reshape(B, C, H), lp["proj_w"], layer=layer)
 
+    tv = None
+    if config.moe_experts:
+        tv = jnp.broadcast_to(active[:, None], (B, C))
     if config.use_gptj_residual:
         ln2 = _norm(config, x, lp["ln2_w"], lp.get("ln2_b"))
-        ffn_out = _ffn(config, lp, ln2, layer)
+        ffn_out = _ffn(config, lp, ln2, layer, token_valid=tv)
         out = _addb(x + attn_out + ffn_out, lp.get("down_b"))
     else:
         h = _addb(x + attn_out, lp.get("proj_b"))
         ln2 = _norm(config, h, lp["ln2_w"], lp.get("ln2_b"))
-        out = _addb(h + _ffn(config, lp, ln2, layer), lp.get("down_b"))
+        out = _addb(
+            h + _ffn(config, lp, ln2, layer, token_valid=tv), lp.get("down_b")
+        )
     return out, cache
 
 
@@ -405,7 +423,7 @@ def prefill_chunk(
         )
     cos_t, sin_t = rotary_tables
     posc = jnp.clip(pos[:, None] + jnp.arange(C)[None, :], 0, S - 1)  # [B, C]
-    x = _add_pos_embed(config, params, x, posc)
+    x = _add_pos_embed(config, params, x, posc, bound=S)
     cos = jnp.take(cos_t, posc, axis=0)  # [B, C, rot/2]
     sin = jnp.take(sin_t, posc, axis=0)
     # query at position pos+c sees keys at positions <= pos+c
@@ -474,16 +492,26 @@ def _embed_lookup(params: Params, ids: jax.Array) -> jax.Array:
     return jnp.take(e, ids, axis=0)
 
 
-def _add_pos_embed(config, params: Params, x: jax.Array, positions) -> jax.Array:
+def _add_pos_embed(
+    config, params: Params, x: jax.Array, positions, bound: int = None
+) -> jax.Array:
     """Additive learned absolute position embeddings (GPT-2/OPT lineage —
     the reference's multi_gpu_gpt position_encoding table,
     src/fastertransformer/models/multi_gpu_gpt ParallelGpt weight
     position_encoding_table). positions: [S] or [B, S(, ...)] int32 into
-    params["pos_embed"] [max_pos, H]; table length bounds the model's
-    context (checked statically at trace time)."""
+    params["pos_embed"] [max_pos, H]. ``bound`` is the static upper bound on
+    any position this call can produce (sequence length / cache capacity):
+    it must fit the table, otherwise jnp.take would silently CLAMP
+    out-of-range positions to the last row and degrade output."""
     if config.position_embedding != "learned":
         return x
     table = params["pos_embed"]
+    if bound is not None:
+        assert bound <= table.shape[0], (
+            f"sequence capacity {bound} exceeds the learned position table "
+            f"({table.shape[0]} rows) — this model cannot serve contexts "
+            "beyond its trained n_positions"
+        )
     pe = jnp.take(table, positions, axis=0)
     if pe.ndim == x.ndim - 1:  # shared [S, H] across the batch
         pe = pe[None]
@@ -501,7 +529,7 @@ def prefill(
     """Full-prompt forward. Returns (hidden [B, S, H], cache with [0,S) filled)."""
     B, S = input_ids.shape
     x = _embed_lookup(params, input_ids)
-    x = _add_pos_embed(config, params, x, jnp.arange(S))
+    x = _add_pos_embed(config, params, x, jnp.arange(S), bound=S)
 
     cos_t, sin_t = make_rotary_tables(S, config.rotary_embedding_dim, config.rotary_base)
     mask = make_prefill_mask(input_lengths, S)
@@ -528,7 +556,7 @@ def decode_step(
     B = tokens.shape[0]
     cache_len = kvc.seq_len_of(cache)
     x = _embed_lookup(params, tokens)[:, None, :]  # [B,1,H]
-    x = _add_pos_embed(config, params, x, positions[:, None])
+    x = _add_pos_embed(config, params, x, positions[:, None], bound=cache_len)
 
     if rotary_tables is None:
         rotary_tables = make_rotary_tables(

@@ -148,6 +148,10 @@ def quantized_matmul(
         _ACT_INT8
         and w.bits == 8
         and not w.group_size
+        and x.ndim >= 3
+        and x.shape[-2] > 1  # sequence width: decode steps ([B, 1, H]) stay
+        # weight-only even at wide pool batch — they are weight-bytes-bound,
+        # so activation quantization is pure overhead there
         and math.prod(x.shape[:-1]) >= _A8_MIN_M
     ):
         # SmoothQuant W8A8 (batch-wide calls only — see _A8_MIN_M). The

@@ -43,6 +43,9 @@ def moe_ffn(
     top_k: int,
     capacity_factor: float,
     act: str = "silu",
+    valid: jax.Array = None,  # [T] bool — False rows (padding / inactive
+    # slots) route to a null expert id so they never consume capacity that
+    # belongs to real tokens (their FFN output is zero; discarded anyway)
 ) -> jax.Array:
     T, H = x2d.shape
     E = router_w.shape[-1]
@@ -55,6 +58,10 @@ def moe_ffn(
     probs = jax.nn.softmax(logits, axis=-1)
     w, idx = jax.lax.top_k(probs, k)  # [T, k]
     w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-9)
+    if valid is not None:
+        # id E is out of range: one_hot rows are all-zero, so these entries
+        # count toward no expert and sort past every real bucket
+        idx = jnp.where(valid[:, None], idx, E)
 
     C = int(math.ceil(T * k / E * capacity_factor))
     C = min(max(C, 1), T * k)

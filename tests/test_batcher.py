@@ -353,6 +353,10 @@ def test_pipelined_ticks_match_sync_mode():
         eng, max_slots=2, max_seq_len=32, prompt_bucket=8, pipeline_ticks=True
     )
     uids = [cb.submit(p, ol, top_k=1) for p, ol in zip(prompts, out_lens)]
+    # the defining behavior: the first tick dispatches but does NOT fetch —
+    # one tick stays in flight while work keeps coming (a fetch-immediately
+    # implementation would be a functional no-op of sync mode)
+    assert cb.step() == [] and len(cb._inflight) == 1
     done = cb.run(max_ticks=300)
     for uid, ref in zip(uids, refs):
         r = done[uid]

@@ -32,6 +32,11 @@ Measured (13B W4 g128 + int8 KV, v5e, 2026-08-20):
                               60.5 ms/tick (529 tok/s aggregate) — one pool
      serves 4x the request count when lengths are short, no per-length
      pool classes needed
+  f) dense flash B=8 PIPELINED ticks
+                              26.0 ms/tick (308 tok/s) — 1.88x over (a):
+     dispatch-before-fetch hides the ~23 ms tunnel sync behind compute
+  g) paged flash B=16 PIPELINED
+                              30.6 ms/tick (524 tok/s) — 1.89x over (d)
 """
 from __future__ import annotations
 
@@ -60,7 +65,7 @@ def main():
 
     if not args.case:
         import subprocess
-        for case in "abcde":
+        for case in "abcdefg":
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--case", case]
                 + [a for a in sys.argv[1:]],
@@ -139,7 +144,7 @@ def main():
     elif args.case == "d":
         time_ticks(fresh_pool(args.wide, **paged_kw(args.wide)),
                    f"d) paged flash B={args.wide}", args.wide)
-    else:
+    elif args.case == "e":
         # page-level sharing: the SAME page budget that serves `slots` long
         # requests (slots*seq tokens) serves 4*slots SHORT requests
         # concurrently — one pool adapts to the mix, where dense slabs need
@@ -150,6 +155,18 @@ def main():
         )
         time_ticks(cb, f"e) paged B={wide2} shorts, {args.slots}x{args.seq} "
                    "page budget", wide2)
+    elif args.case == "f":
+        # pipelined ticks: dispatch-before-fetch overlaps the ~30 ms axon
+        # host sync with the next tick's compute (engine/batcher.py)
+        time_ticks(fresh_pool(args.slots, pipeline_ticks=True),
+                   f"f) dense flash B={args.slots} pipelined", args.slots)
+    elif args.case == "g":
+        time_ticks(
+            fresh_pool(args.wide, pipeline_ticks=True, **paged_kw(args.wide)),
+            f"g) paged flash B={args.wide} pipelined", args.wide,
+        )
+    else:
+        raise SystemExit(f"unknown --case {args.case!r} (a-g)")
 
 
 if __name__ == "__main__":
