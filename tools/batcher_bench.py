@@ -47,6 +47,9 @@ def main():
                     help="fp32 for CPU smoke (CPU backend lacks bf16 dots)")
     ap.add_argument("--log-probs", action="store_true",
                     help="pool tracks per-token log-probs (handler mode: on)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="pipeline_ticks=True: overlap host sync with the "
+                    "next tick's compute (engine/batcher.py)")
     args = ap.parse_args()
 
     import jax
@@ -84,12 +87,15 @@ def main():
         if args.mixed == "multi":
             srv = MultiPoolServer(
                 eng,
-                [dict(max_slots=8, max_seq_len=256, prompt_bucket=128),
-                 dict(max_slots=4, max_seq_len=1024, prompt_bucket=128)],
+                [dict(max_slots=8, max_seq_len=256, prompt_bucket=128,
+                      pipeline_ticks=args.pipeline),
+                 dict(max_slots=4, max_seq_len=1024, prompt_bucket=128,
+                      pipeline_ticks=args.pipeline)],
             )
         else:
             srv = BatchingServer(
-                eng, max_slots=8, max_seq_len=1024, prompt_bucket=128
+                eng, max_slots=8, max_seq_len=1024, prompt_bucket=128,
+                pipeline_ticks=args.pipeline,
             )
         reqs = []
         for i in range(args.requests):
@@ -147,6 +153,7 @@ def main():
             engine=eng, tokenizer=IdTok(), warmup=False,
             pool=dict(max_slots=args.slots, max_seq_len=args.max_seq,
                       prompt_bucket=args.prompt_bucket,
+                      pipeline_ticks=args.pipeline,
                       return_log_probs=True),
         )
         prompts = [
@@ -196,6 +203,7 @@ def main():
         eng, max_slots=args.slots, max_seq_len=args.max_seq,
         prompt_bucket=args.prompt_bucket,
         return_log_probs=args.log_probs,
+        pipeline_ticks=args.pipeline,
     )
     for _ in range(args.requests):
         pool.submit(
