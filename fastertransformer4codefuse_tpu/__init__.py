@@ -14,7 +14,9 @@ Capability map (reference -> here):
 """
 
 from .core.config import GptNeoXConfig, RuntimeConfig
+from .engine.batcher import ContinuousBatcher
 from .engine.engine import GenerationOutput, GptNeoXEngine
+from .engine.speculative import speculative_generate
 from .models.params import QuantizedTensor, init_params, cast_params
 
 __version__ = "0.1.0"
@@ -27,4 +29,6 @@ __all__ = [
     "QuantizedTensor",
     "init_params",
     "cast_params",
+    "ContinuousBatcher",
+    "speculative_generate",
 ]

@@ -134,6 +134,12 @@ class CodeFuseHandler:
                 # the response schema always carries cum_log_prob, so the pool
                 # must track per-token log-probs (return_cum_log_probs)
                 kw.setdefault("return_log_probs", True)
+                # serving default: overlap the device→host sync with the next
+                # tick's compute (measured 1.6-1.8x aggregate on the handler
+                # path; engine/batcher.py pipeline_ticks). Streaming emissions
+                # lag one tick (~tens of ms); pass pipeline_ticks=False to
+                # serialize.
+                kw.setdefault("pipeline_ticks", True)
                 # trie extension lists (optional_last_tokens) can span
                 # hundreds of vocab entries; give the pool room
                 kw.setdefault("optional_last_width", 512)
