@@ -155,10 +155,25 @@ class CodeFuseHandler:
                 )
             else:
                 self.server = BatchingServer(engine, **with_defaults(pool))
+        # the static generate() path shares ONE engine and is not reentrant
+        # (two concurrent 13B static batches would double HBM transients);
+        # concurrent non-pool-routable predict() calls serialize on this
+        import threading as _threading
+
+        self._static_lock = _threading.Lock()
         if warmup:
             generate(self.engine, self.tokenizer, ["demo"], 2, 1)
             if self.server is not None:
-                self.server.generate(self.tokenizer.encode("demo"), 2)
+                from ..engine.server import MultiPoolServer as _MPS
+
+                if isinstance(self.server, _MPS):
+                    # warm EVERY pool class: routing by length means a tiny
+                    # demo request would only compile the smallest class and
+                    # the first long request would pay the full trace+compile
+                    for srv in self.server.servers:
+                        srv.generate(self.tokenizer.encode("demo"), 2)
+                else:
+                    self.server.generate(self.tokenizer.encode("demo"), 2)
 
     def _default_stream_sink(self, batch_idx: int, beam_idx: int, text: str):
         if batch_idx == 0 and beam_idx == 0:
@@ -169,15 +184,37 @@ class CodeFuseHandler:
         """Whether every prompt of this request can ride the slot pool."""
         if data_package["beam_width"] != 1:
             return False
-        cap = self.server.batcher.sampling_cap
-        S = self.server.batcher.max_seq_len
+        pool = self.server.batcher
+        cap = pool.sampling_cap
+        S = pool.max_seq_len
         out_len = data_package["output_len"]
+
+        def wl_len(lists, i):
+            if lists is None or not lists[i]:
+                return 0
+            return sum(len(self.tokenizer.encode(w)) for w in lists[i])
+
         for b, ids in enumerate(prompts):
             if len(ids) + out_len > S or len(ids) == 0:
                 return False
             tk = (data_package["top_k"] or [50])[b]
             if not (1 <= tk <= cap):  # top_k=0 (pure top-p) needs the full sort
                 return False
+            # word-list / trie-expansion widths beyond the pool's static
+            # buffers fall back to the static path (make_request would
+            # reject them client-side; never let an assert reach the
+            # driver thread)
+            if wl_len(data_package.get("stop_words_list"), b) > pool.stop_words_width:
+                return False
+            if wl_len(data_package.get("bad_words_list"), b) > pool.bad_words_width:
+                return False
+            lt = data_package.get("last_token_list")
+            if lt is not None and lt[b] and self.trie is not None:
+                olt = optional_last_token_ids(
+                    self.trie, lt[b], self.engine.config.end_id
+                )
+                if len(olt) > pool.optional_last_width:
+                    return False
         return True
 
     def _predict_pooled(self, dp: dict, use_callback: bool, prompts: List[List[int]]):
@@ -303,13 +340,14 @@ class CodeFuseHandler:
 
             data_package.pop("priority", None)  # pooled-path-only knob
             want_step_lp = data_package["output_log_probs"]
-            res = generate(
-                self.engine,
-                self.tokenizer,
-                trie=self.trie,
-                callback=callback,
-                **data_package,
-            )
+            with self._static_lock:  # static path is not reentrant (see init)
+                res = generate(
+                    self.engine,
+                    self.tokenizer,
+                    trie=self.trie,
+                    callback=callback,
+                    **data_package,
+                )
             result, lengths, cum_log_probs, latency = res[:4]
             step_log_probs = res[4] if want_step_lp else None
 

@@ -20,15 +20,14 @@ the continuous-batching slot pool — short requests overtake long ones.
 """
 from __future__ import annotations
 
+import itertools
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 def make_server(handler, host: str = "127.0.0.1", port: int = 8080):
     """Build (without starting) a ThreadingHTTPServer bound to the handler."""
-    counter = iter(range(1 << 62))
-    lock = threading.Lock()
+    counter = itertools.count()  # GIL-atomic, same idiom as batcher._UIDS
 
     class _Req(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict | str):
@@ -57,8 +56,7 @@ def make_server(handler, host: str = "127.0.0.1", port: int = 8080):
             except Exception as e:  # noqa: BLE001
                 self._send(400, {"error": f"bad request: {e}"})
                 return
-            with lock:
-                trace_id = f"http-{next(counter)}"
+            trace_id = f"http-{next(counter)}"
             code, err, result_map = handler.predict(request_dict, trace_id)
             if code != 0:
                 self._send(500, {"error": err})

@@ -231,6 +231,27 @@ class ContinuousBatcher:
             f"pool supports top_k in [1, {self.sampling_cap}]"
         )
         assert len(r.prompt) + r.output_len <= self.max_seq_len
+        # width limits validate HERE (client thread, fails only this request)
+        # — an assert inside _admit would fire on the server's driver thread
+        # and kill the whole pool
+        def _wl_len(words):
+            return sum(len(w) for w in words) if words else 0
+
+        if _wl_len(r.stop_words) > self.stop_words_width:
+            raise ValueError(
+                f"stop_words need {_wl_len(r.stop_words)} ids; pool width is "
+                f"{self.stop_words_width}"
+            )
+        if _wl_len(r.bad_words) > self.bad_words_width:
+            raise ValueError(
+                f"bad_words need {_wl_len(r.bad_words)} ids; pool width is "
+                f"{self.bad_words_width}"
+            )
+        if r.optional_last_tokens and len(r.optional_last_tokens) > self.optional_last_width:
+            raise ValueError(
+                f"optional_last_tokens ({len(r.optional_last_tokens)}) exceed "
+                f"the pool's optional_last_width {self.optional_last_width}"
+            )
         return r
 
     def enqueue(self, r: Request) -> None:

@@ -563,6 +563,11 @@ def attend_decode_beam(
         and not (packed4(cache, "k") or packed4(cache, "v"))
         and seq_len_of(cache) >= _FLASH_MIN_S[quantized(cache)]
         and bw <= 8
+        # TOTAL rows, not just bw: above _SCATTER_MIN_B write_decode takes
+        # the batched scatter whose position-major layout preference
+        # conflicts with the kernel's canonical operands (the r3 full-slab
+        # relayout disease — same reason wide dense pools gate flash off)
+        and q.shape[0] <= _SCATTER_MIN_B
     ):
         from ..ops.flash_decode import flash_decode_beam_stacked
 
@@ -600,7 +605,12 @@ def attend_decode_beam(
     scores = jnp.where(validg, scores, MASK_VALUE)
     probs = jax.nn.softmax(scores, axis=-1)  # [B, j, nKV, g, S]
 
-    # route probs back to physical rows for the PV contraction
+    # route probs back to physical rows for the PV contraction. NOTE: vg is
+    # read unmasked — the indirection contract is that ind[j, s] only selects
+    # rows whose written extent covers s (true for real beam histories: an
+    # ancestor live at step s wrote position s). Engine caches are zero-init,
+    # so even unreferenced unwritten slots are finite; the Pallas beam kernel
+    # additionally zeroes each row's own tail defensively.
     pc = jnp.einsum("bjhgs,bjcs->bjchgs", probs, sel)
     if quantized(cache_l):
         v_s = cache_l["v_s"].reshape(B, 1, bw, nKV, 1, S).astype(jnp.float32)

@@ -65,6 +65,11 @@ class BatchingServer:
         with self._lock:
             self._mailbox.append(r)
             self._events[r.uid] = threading.Event()
+        if self._error is not None:
+            # driver died between the entry check and event registration:
+            # _drive's error broadcast may have run before our event existed
+            # — set it ourselves so wait() cannot hang forever
+            self._events[r.uid].set()
         self._wake.set()
         return r.uid
 
@@ -74,6 +79,13 @@ class BatchingServer:
         ev = self._events[uid]
         if not ev.wait(timeout):
             raise TimeoutError(f"request {uid} still running after {timeout}s")
+        with self._lock:
+            req = self.batcher.requests.get(uid)
+            if req is not None and req.done:
+                # completed BEFORE any (possibly later, unrelated) driver
+                # death — return the finished result rather than discarding it
+                self._events.pop(uid, None)
+                return self.batcher.requests.pop(uid)
         if self._error is not None:
             raise RuntimeError("pool driver died") from self._error
         with self._lock:
@@ -158,7 +170,11 @@ class MultiPoolServer:
         )
 
     def wait(self, uid: int, timeout=None):
-        return self._route.pop(uid).wait(uid, timeout)
+        # pop only AFTER a successful wait — a TimeoutError must leave the
+        # route intact so the caller can retry and still retrieve the result
+        result = self._route[uid].wait(uid, timeout)
+        self._route.pop(uid, None)
+        return result
 
     def generate(self, prompt, output_len: int, **kw):
         return self.wait(self.submit(prompt, output_len, **kw))

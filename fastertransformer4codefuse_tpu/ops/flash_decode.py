@@ -212,8 +212,13 @@ def _beam_kernel(
                 pc = jnp.where(sel, ph, 0.0)
             vc = v_ref[0, 0, c].astype(jnp.bfloat16)  # [hb, bs, dh]
             if not has_scale:
-                # float caches: unwritten tail can hold NaN bit patterns and
-                # 0 * NaN = NaN inside the dot — zero the tail rows
+                # float caches: the region past EVERY row's extent can hold
+                # garbage and 0 * NaN = NaN inside the dot — zero it. Between
+                # a shorter row's own extent and group_max the bytes are
+                # unwritten too, but engine caches are zero-init (finite) and
+                # the indirection contract only selects rows whose extent
+                # covers the position (matching the XLA fallback, which reads
+                # vg unmasked — see kv_cache.attend_decode_beam)
                 tail = jax.lax.broadcasted_iota(jnp.int32, (1, bs, 1), 1)
                 vc = jnp.where(tail + s_idx * bs <= group_max, vc, 0.0)
             pv = pv + jax.lax.dot_general(

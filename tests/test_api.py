@@ -517,3 +517,26 @@ def test_http_server_end_to_end():
         srv.shutdown()
         srv.server_close()
         handler.server.close()
+
+
+def test_handler_overwidth_wordlist_falls_back_to_static():
+    """A stop-words list wider than the pool's static buffer must route to
+    the static path (and succeed) instead of reaching the driver thread,
+    where a width assert would kill the whole pool (review finding)."""
+    static, pooled, tok = make_pooled_handler(stop_words_width=4)
+    try:
+        words = ["ab", "cd", "ef", "gh"]  # 8 ids > width 4
+        req = {
+            "prompts": [{"prompt": "hello", "top_k": 1, "last_token": "",
+                         "stop_words": words}],
+            "out_seq_length": 4,
+        }
+        code, err, res = pooled.predict(req, "wide-words")
+        assert code == 0, err
+        # the pool must still be alive for routable requests afterwards
+        req2 = {"prompts": [{"prompt": "hello", "top_k": 1, "last_token": "",
+                             "stop_words": []}], "out_seq_length": 3}
+        code2, err2, _ = pooled.predict(req2, "after")
+        assert code2 == 0, err2
+    finally:
+        pooled.server.close()
