@@ -22,8 +22,9 @@ class ModelFamily:
     config_from_hf: Callable[[Any], Any]
     params_from_hf: Callable[[Any, Any, Any], Any]
     prefill: Callable
-    decode_step: Callable
-    lm_logits: Callable
+    decode_step: Callable = None  # encoder-only families have no decode loop
+    lm_logits: Callable = None
+    encode: Callable = None  # encoder families (bert): full bidirectional pass
 
 
 _REGISTRY: Dict[str, ModelFamily] = {}
@@ -96,6 +97,20 @@ def _register_builtin() -> None:
             prefill=gptneox.prefill,
             decode_step=gptneox.decode_step,
             lm_logits=gptneox.lm_logits,
+        )
+    )
+    from . import bert
+
+    register(
+        ModelFamily(
+            name="bert",  # encoder family (the reference's models/bert)
+            config_from_ini=None,
+            config_from_hf=bert.config_from_hf_bert,
+            params_from_hf=lambda cfg, sd, dtype="fp32": bert.params_from_hf_bert_state_dict(
+                cfg, sd
+            ),
+            prefill=bert.encode,  # bidirectional full pass
+            encode=bert.encode,
         )
     )
     register(

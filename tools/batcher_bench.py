@@ -47,6 +47,9 @@ def main():
                     help="fp32 for CPU smoke (CPU backend lacks bf16 dots)")
     ap.add_argument("--log-probs", action="store_true",
                     help="pool tracks per-token log-probs (handler mode: on)")
+    ap.add_argument("--act-int8", action="store_true",
+                    help="SmoothQuant W8A8 on batch-wide GEMMs (chunk "
+                    "prefills; requires --bits 8)")
     ap.add_argument("--pipeline", action="store_true",
                     help="pipeline_ticks=True: overlap host sync with the "
                     "next tick's compute (engine/batcher.py)")
@@ -71,6 +74,7 @@ def main():
     eng = GptNeoXEngine(
         cfg, params,
         RuntimeConfig(dtype=args.dtype, int8_mode=1, kv_cache_dtype="int8",
+                      act_int8=args.act_int8,
                       max_batch_size=args.slots, max_seq_len=args.max_seq),
     )
     rng = np.random.default_rng(0)
