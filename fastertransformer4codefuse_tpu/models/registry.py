@@ -99,8 +99,21 @@ def _register_builtin() -> None:
             lm_logits=gptneox.lm_logits,
         )
     )
-    from . import bert
+    from . import bert, t5
 
+    register(
+        ModelFamily(
+            name="t5",  # encoder-decoder family (the reference's models/t5)
+            config_from_ini=None,
+            config_from_hf=t5.config_from_hf_t5,
+            params_from_hf=lambda cfg, sd, dtype="fp32": t5.params_from_hf_t5_state_dict(
+                cfg, sd
+            ),
+            prefill=t5.encode,
+            decode_step=t5.decode_step,
+            encode=t5.encode,
+        )
+    )
     register(
         ModelFamily(
             name="bert",  # encoder family (the reference's models/bert)
