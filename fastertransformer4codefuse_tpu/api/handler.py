@@ -291,6 +291,51 @@ class CodeFuseHandler:
             response["output_log_probs"] = step_lps
         return response
 
+    def _spec_eligible(self, request_dict, dp, prompts, use_callback) -> bool:
+        """Prompt-lookup speculative decoding (engine/speculative.py) serves
+        single greedy non-streaming requests with no token processors — the
+        regime where multi-token steps pay off (repetitive code output)."""
+        if not request_dict.get("speculative"):
+            return False
+        if use_callback or dp["beam_width"] != 1 or len(prompts) != 1:
+            return False
+        if (dp["top_k"] or [50])[0] != 1:
+            return False
+        if dp["output_log_probs"]:
+            return False
+        for key in ("stop_words_list", "bad_words_list", "last_token_list"):
+            v = dp.get(key)
+            if v is not None and any(v):
+                return False
+        return len(prompts[0]) > 0
+
+    def _predict_speculative(self, dp: dict, prompts: List[List[int]]):
+        from ..engine.speculative import speculative_generate
+
+        start = time.time()
+        with self._static_lock:  # shares the engine's one-shot resources
+            toks, stats = speculative_generate(
+                self.engine, prompts[0], dp["output_len"]
+            )
+        gen = []
+        end_id = self.engine.config.end_id
+        for t in toks[len(prompts[0]):]:
+            if t == end_id:
+                break
+            gen.append(int(t))
+        return {
+            "latency": time.time() - start,
+            "random_seed": dp["random_seed"],
+            "generated_code": [[trim_garbage(self.tokenizer.decode(gen))]],
+            "length": [[len(gen)]],
+            "cum_log_prob": [[stats.cum_log_prob]],
+            "speculative": {
+                "iterations": stats.iterations,
+                "tokens_per_step": stats.tokens_per_step,
+                "accepted": stats.accepted,
+            },
+        }
+
     def predict(self, request_dict: dict, trace_id: str):
         logger.info("%s request: %s", trace_id, json.dumps(request_dict, ensure_ascii=False))
         try:
@@ -302,8 +347,19 @@ class CodeFuseHandler:
             beam_width = data_package["beam_width"]
             random_seed = data_package["random_seed"]
 
+            prompts_maybe = [
+                list(self.tokenizer.encode(t)) for t in data_package["texts"]
+            ]
+            if self._spec_eligible(
+                request_dict, data_package, prompts_maybe, use_callback
+            ):
+                response = self._predict_speculative(data_package, prompts_maybe)
+                response_str = json.dumps(response, ensure_ascii=False)
+                logger.info("%s response (speculative): %s", trace_id, response_str)
+                return (0, "ok", {"res": response_str})
+
             if self.server is not None:
-                prompts = [list(self.tokenizer.encode(t)) for t in data_package["texts"]]
+                prompts = prompts_maybe
                 if self._pool_routable(data_package, prompts):
                     response = self._predict_pooled(
                         data_package, use_callback, prompts

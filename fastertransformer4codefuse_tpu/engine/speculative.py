@@ -90,6 +90,7 @@ class SpecStats:
     drafted: int = 0
     accepted: int = 0
     emitted: int = 0
+    cum_log_prob: float = 0.0  # sum of committed tokens' greedy log-probs
 
     @property
     def tokens_per_step(self) -> float:
@@ -102,8 +103,13 @@ def _spec_prefill(cfg, params, ids, n, cache):
     # calls (a per-call closure would recompile the 13B prefill every time)
     hidden, cache = model.prefill(cfg, params, ids, n, cache)
     last = model.last_token_hidden(hidden, n)
-    logits = model.lm_logits(cfg, params, last[:, None])
-    return jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32), cache
+    logits = model.lm_logits(cfg, params, last[:, None])[:, 0]
+    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lp = (
+        jnp.take_along_axis(logits, tok[:, None], axis=1)[:, 0]
+        - jax.nn.logsumexp(logits, axis=-1)
+    )
+    return tok, lp, cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k", "ngram"))
@@ -115,11 +121,11 @@ def _spec_loop(cfg, params, tokens, l0, cache, stop_at, k, ngram):
     end_id = cfg.end_id
 
     def cond(carry):
-        tokens, l, cache, done, it, acc, drf = carry
+        tokens, l, cache, done, it, acc, drf, lp = carry
         return (~done) & (l < stop_at)
 
     def body(carry):
-        tokens, l, cache, done, it, acc, drf = carry
+        tokens, l, cache, done, it, acc, drf, lp = carry
         draft, has = _propose_device(tokens, l, ngram, k)
 
         last = jax.lax.dynamic_slice(tokens, (l - 1,), (1,))
@@ -143,15 +149,24 @@ def _spec_loop(cfg, params, tokens, l0, cache, stop_at, k, ngram):
         tokens = jax.lax.dynamic_update_slice(
             tokens, jnp.where(iota < commit, cand, old), (l,)
         )
+        # cumulative log-prob of the COMMITTED tokens (every committed token
+        # equals its row's greedy argmax, so its log-prob is
+        # logits[i, g[i]] - logsumexp(logits[i]) — the reference's
+        # cum_log_prob contract at ~zero extra cost)
+        lse = jax.nn.logsumexp(logits[0], axis=-1)  # [C]
+        chosen = jnp.take_along_axis(logits[0], g[:, None], axis=1)[:, 0]
+        lp = lp + jnp.sum(jnp.where(iota < commit, chosen - lse, 0.0))
         l = l + commit
         done = (first_end < C) | (l >= stop_at)
         return (tokens, l, cache, done, it + 1,
-                acc + m, drf + jnp.where(has, k, 0))
+                acc + m, drf + jnp.where(has, k, 0), lp)
 
     init = (tokens, l0, cache, jnp.asarray(False), jnp.int32(0),
-            jnp.int32(0), jnp.int32(0))
-    tokens, l, cache, done, it, acc, drf = jax.lax.while_loop(cond, body, init)
-    return tokens, l, it, acc, drf
+            jnp.int32(0), jnp.int32(0), jnp.float32(0.0))
+    (tokens, l, cache, done, it, acc, drf, lp) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return tokens, l, it, acc, drf, lp
 
 
 def speculative_generate(
@@ -179,16 +194,16 @@ def speculative_generate(
 
     ids = np.full((1, S), cfg.end_id, np.int32)
     ids[0, :in_len] = prompt
-    first, cache = _spec_prefill(
+    first, first_lp, cache = _spec_prefill(
         cfg, params, jnp.asarray(ids), jnp.asarray([in_len], jnp.int32), cache
     )
     tokens = jnp.asarray(ids[0]).at[in_len].set(first[0])
     stop_at = in_len + output_len
-    stats = SpecStats(iterations=1, emitted=1)
+    stats = SpecStats(iterations=1, emitted=1, cum_log_prob=float(first_lp[0]))
     if int(first[0]) == cfg.end_id or in_len + 1 >= stop_at:
         return [int(t) for t in np.asarray(tokens[: in_len + 1])], stats
 
-    tokens, l, it, acc, drf = _spec_loop(
+    tokens, l, it, acc, drf, lp = _spec_loop(
         cfg, params, tokens, jnp.int32(in_len + 1), cache,
         jnp.int32(stop_at), k=k, ngram=ngram,
     )
@@ -197,6 +212,7 @@ def speculative_generate(
     stats.accepted = int(acc)
     stats.drafted = int(drf)
     stats.emitted = l - in_len
+    stats.cum_log_prob += float(lp)
     out = [int(t) for t in np.asarray(tokens[:l])]
     # truncate at the first end_id after the prompt (committed by design)
     for i in range(in_len, len(out)):

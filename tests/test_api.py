@@ -540,3 +540,36 @@ def test_handler_overwidth_wordlist_falls_back_to_static():
         assert code2 == 0, err2
     finally:
         pooled.server.close()
+
+
+def test_handler_speculative_flag():
+    """request["speculative"]: greedy single-prompt requests ride
+    prompt-lookup speculative decoding — same text and cum_log_prob as the
+    plain greedy path, plus a stats block."""
+    handler, tok = make_handler()
+    req = {
+        "prompts": [{"prompt": "ababab abab", "top_k": 1, "last_token": "",
+                     "stop_words": []}],
+        "out_seq_length": 8,
+    }
+    code0, err0, res0 = handler.predict(req, "plain")
+    assert code0 == 0, err0
+    plain = json.loads(res0["res"])
+
+    req_spec = dict(req, speculative=True)
+    code1, err1, res1 = handler.predict(req_spec, "spec")
+    assert code1 == 0, err1
+    spec = json.loads(res1["res"])
+    assert spec["generated_code"] == plain["generated_code"]
+    assert spec["length"] == plain["length"]
+    np.testing.assert_allclose(
+        np.asarray(spec["cum_log_prob"]), np.asarray(plain["cum_log_prob"]),
+        atol=1e-3,
+    )
+    assert spec["speculative"]["iterations"] >= 1
+
+    # ineligible shapes (streaming / top_k>1) silently use the normal path
+    req_stream = dict(req, speculative=True, stream=True)
+    code2, err2, res2 = handler.predict(req_stream, "spec-stream")
+    assert code2 == 0, err2
+    assert "speculative" not in json.loads(res2["res"])
