@@ -122,3 +122,27 @@ def test_act_int8_decode_width_stays_weight_only():
         lin.set_act_int8(False)
     assert calls, "prefill should have used W8A8"
     assert min(calls) >= lin._A8_MIN_M  # no decode-width (M=1) calls
+
+
+def test_w4_stays_weight_only_under_act_int8():
+    """int4 weights must NOT take the A8 path even with act_int8=True —
+    measured negative result: XLA materializes the unpacked [K, N] weight
+    per layer instead of fusing the nibble shifts into the int8 dot
+    (335.9 vs 216.1 ms on the 13B 1024-token prefill; see ops/linear.py)."""
+    calls = []
+    real = lin.w8a8_matmul
+    lin.w8a8_matmul = lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    cfg = GptNeoXConfig.tiny(vocab_size=64)
+    qp = quantize_params(init_params(cfg, dtype="fp32"), weight_bits=4,
+                         group_size=0)
+    try:
+        eng = GptNeoXEngine(
+            cfg, qp,
+            RuntimeConfig(dtype="fp32", int8_mode=1, act_int8=True,
+                          seq_bucket=8),
+        )
+        eng.generate([list(range(3, 20))], output_len=3, top_k=1)
+    finally:
+        lin.w8a8_matmul = real
+        lin.set_act_int8(False)
+    assert not calls

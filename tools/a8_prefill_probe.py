@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--in_len", type=int, default=1024)
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--layers", type=int, default=0)
+    ap.add_argument("--bits", type=int, default=8,
+                    help="8 = W8A8 A/B; 4 = per-channel W4A8 A/B")
     ap.add_argument("--case", default="")
     args = ap.parse_args()
 
@@ -52,7 +54,8 @@ def main():
     if args.layers:
         cfg = GptNeoXConfig(**{**cfg.__dict__, "layer_num": args.layers})
     params = init_params(
-        cfg, dtype="bf16", int8_mode=1, quantize_embeddings=True
+        cfg, dtype="bf16", int8_mode=1, quantize_embeddings=True,
+        weight_bits=args.bits,
     )
     jax.block_until_ready(params)
     eng = GptNeoXEngine(
@@ -68,7 +71,9 @@ def main():
     for _ in range(args.reps):
         eng.generate(prompt, output_len=1, top_k=1)
     dt = (time.perf_counter() - t0) / args.reps * 1000
-    label = "b) W8A8 (act_int8)" if args.case == "b" else "a) weight-only int8"
+    wl = f"int{args.bits}"
+    label = (f"b) W{args.bits}A8 (act_int8)" if args.case == "b"
+             else f"a) weight-only {wl}")
     print(f"{label} prefill+1step @in={args.in_len}: {dt:.1f} ms", flush=True)
 
 
