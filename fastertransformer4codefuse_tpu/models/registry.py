@@ -55,6 +55,7 @@ def _register_builtin() -> None:
         convert_gptj,
         convert_llama,
         convert_mixtral,
+        convert_opt,
         convert_qwen2,
         convert_starcoder,
     )
@@ -132,6 +133,19 @@ def _register_builtin() -> None:
             config_from_ini=GptNeoXConfig.from_ini,
             config_from_hf=convert_mixtral.config_from_hf_mixtral,
             params_from_hf=lambda cfg, sd, dtype="fp32": convert_mixtral.params_from_hf_mixtral_state_dict(
+                cfg, sd, dtype
+            ),
+            prefill=gptneox.prefill,
+            decode_step=gptneox.decode_step,
+            lm_logits=gptneox.lm_logits,
+        )
+    )
+    register(
+        ModelFamily(
+            name="opt",  # multi_gpu_gpt's other lineage: OPT checkpoints
+            config_from_ini=GptNeoXConfig.from_ini,
+            config_from_hf=convert_opt.config_from_hf_opt,
+            params_from_hf=lambda cfg, sd, dtype="fp32": convert_opt.params_from_hf_opt_state_dict(
                 cfg, sd, dtype
             ),
             prefill=gptneox.prefill,
