@@ -379,6 +379,69 @@ def main():
           "router-pinned differs:",
           om.output_ids[0, 0].tolist() != om2.output_ids[0, 0].tolist())
 
+    # --- BERT encoder + T5 enc-dec on real hardware --------------------------
+    import jax.numpy as _j
+
+    from fastertransformer4codefuse_tpu.models import bert as _bert
+    from fastertransformer4codefuse_tpu.models import t5 as _t5
+
+    rngb = np.random.default_rng(7)
+    bcfg = _bert.BertConfig(
+        head_num=8, size_per_head=64, layer_num=2, vocab_size=512,
+        max_position_embeddings=128, inter_size=2048,
+    )
+    bp = {
+        "embed": _j.asarray(rngb.standard_normal((512, 512)) * 0.02, _j.float32),
+        "pos_embed": _j.asarray(rngb.standard_normal((128, 512)) * 0.02, _j.float32),
+        "type_embed": _j.asarray(rngb.standard_normal((2, 512)) * 0.02, _j.float32),
+        "embed_ln_w": _j.ones((512,)), "embed_ln_b": _j.zeros((512,)),
+        "layers": {
+            k: _j.asarray(rngb.standard_normal(s) * 0.02, _j.float32)
+            for k, s in {
+                "qkv_w": (2, 512, 1536), "qkv_b": (2, 1536),
+                "proj_w": (2, 512, 512), "proj_b": (2, 512),
+                "attn_ln_w": (2, 512), "attn_ln_b": (2, 512),
+                "up_w": (2, 512, 2048), "up_b": (2, 2048),
+                "down_w": (2, 2048, 512), "down_b": (2, 512),
+                "out_ln_w": (2, 512), "out_ln_b": (2, 512),
+            }.items()
+        },
+    }
+    bids = _j.asarray(rngb.integers(0, 512, (2, 64)), _j.int32)
+    bh, _ = _bert.encode(bcfg, bp, bids, _j.asarray([64, 40], _j.int32))
+    assert np.isfinite(np.asarray(bh)).all()
+    print("bert encoder ok:", tuple(bh.shape))
+
+    tcfg = _t5.T5Config(
+        head_num=8, size_per_head=64, d_model=512, layer_num=2,
+        dec_layer_num=2, vocab_size=512, inter_size=1024,
+    )
+    tp = {
+        "embed": _j.asarray(rngb.standard_normal((512, 512)) * 0.02, _j.float32),
+        "enc_rel_bias": _j.asarray(rngb.standard_normal((32, 8)) * 0.02, _j.float32),
+        "dec_rel_bias": _j.asarray(rngb.standard_normal((32, 8)) * 0.02, _j.float32),
+        "enc_final_ln_w": _j.ones((512,)), "dec_final_ln_w": _j.ones((512,)),
+        "enc": {k: _j.asarray(rngb.standard_normal(s) * 0.02, _j.float32)
+                for k, s in {"ln1_w": (2, 512), "q_w": (2, 512, 512),
+                             "k_w": (2, 512, 512), "v_w": (2, 512, 512),
+                             "o_w": (2, 512, 512), "ln2_w": (2, 512),
+                             "wi": (2, 512, 1024), "wo": (2, 1024, 512)}.items()},
+        "dec": {k: _j.asarray(rngb.standard_normal(s) * 0.02, _j.float32)
+                for k, s in {"ln1_w": (2, 512), "q_w": (2, 512, 512),
+                             "k_w": (2, 512, 512), "v_w": (2, 512, 512),
+                             "o_w": (2, 512, 512), "ln_x_w": (2, 512),
+                             "xq_w": (2, 512, 512), "xk_w": (2, 512, 512),
+                             "xv_w": (2, 512, 512), "xo_w": (2, 512, 512),
+                             "ln2_w": (2, 512), "wi": (2, 512, 1024),
+                             "wo": (2, 1024, 512)}.items()},
+    }
+    tout = _t5.greedy_generate(
+        tcfg, tp, _j.asarray(rngb.integers(2, 512, (1, 32)), _j.int32),
+        _j.asarray([32], _j.int32), 8,
+    )
+    assert tout.shape[1] >= 1
+    print("t5 enc-dec ok:", tout[0].tolist())
+
     # --- speculative decoding on real hardware -------------------------------
     from fastertransformer4codefuse_tpu.engine.speculative import (
         speculative_generate,
