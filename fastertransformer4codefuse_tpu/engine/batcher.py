@@ -192,9 +192,9 @@ class ContinuousBatcher:
             from .paged_kv import init_paged_cache
 
             dt = self.engine._cache_dtype()
-            assert not isinstance(dt, str), (
-                "paged pools support int8/float KV caches, not packed int4"
-            )
+            # packed int4 pages ARE supported (unlike the dense pool's
+            # slabs): chunk starts are prompt_bucket-aligned and decode
+            # writes read-modify-write the pair byte (paged_kv docstring)
             cache = init_paged_cache(
                 cfg, B, S, n_pages=int(self.paged["num_pages"]),
                 page_size=self.page_size, dtype=dt,

@@ -426,7 +426,9 @@ def attend_chunk(
     axis — the KV bytes are read once per group, never repeated."""
     B, C, nH, dh = q.shape
     if "pt" in cache:
-        nKV = cache["pk"].shape[2]
+        from . import paged_kv as _paged
+
+        nKV = _paged._slab(cache, "pk").shape[2]
     else:
         nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
     if nH != nKV:
@@ -643,8 +645,9 @@ def attend_decode(
         from . import paged_kv as _paged
 
         assert beam is None, "paged pools do not support beam search"
-        dh = cache["pv"].shape[4]
-        nKV = cache["pk"].shape[2]
+        pvs = _paged._slab(cache, "pv")
+        dh = pvs.shape[4]
+        nKV = pvs.shape[2]
         if (
             _FLASH_DECODE
             and positions is not None
@@ -655,8 +658,8 @@ def attend_decode(
             from ..ops.flash_decode import flash_decode_paged
 
             return flash_decode_paged(
-                q, cache["pk"], cache.get("pk_s"), cache["pv"],
-                cache.get("pv_s"), layer, positions, cache["pt"],
+                q, _paged._slab(cache, "pk"), cache.get("pk_s"),
+                pvs, cache.get("pv_s"), layer, positions, cache["pt"],
                 sm_scale=sm_scale,
             )
         # XLA fallback (tiny pools / odd head dims): dense view via the

@@ -51,12 +51,23 @@ def is_paged(cache: Cache) -> bool:
     return "pt" in cache
 
 
+def packed4(cache: Cache, which: str) -> bool:
+    """True when page slab ``which`` ("pk"/"pv") is stored nibble-packed."""
+    return f"{which}4" in cache
+
+
+def _slab(cache: Cache, which: str):
+    return cache.get(which + "4", cache.get(which))
+
+
 def page_size(cache: Cache) -> int:
+    if quantized(cache):
+        return cache["pk_s"].shape[3]  # scales always carry unpacked length
     return cache["pk"].shape[3]
 
 
 def num_pages(cache: Cache) -> int:
-    return cache["pk"].shape[1]
+    return _slab(cache, "pk").shape[1]
 
 
 def logical_seq_len(cache: Cache) -> int:
@@ -75,10 +86,13 @@ def init_paged_cache(
     page_size: int = 256,
     dtype=jnp.bfloat16,
 ) -> Cache:
-    """``dtype``: a jnp dtype or jnp.int8 (per-vector scales). Packed-int4
-    pages are not supported (same constraint as the dense pool: per-row write
-    offsets may straddle position-pair bytes)."""
-    assert isinstance(dtype, str) is False, "paged cache takes a jnp dtype"
+    """``dtype``: a jnp dtype, jnp.int8 (per-vector scales), or the strings
+    "int4" / "int8k_int4v" — nibble-packed pages (adjacent SEQUENCE
+    positions two-per-byte, the dense cache's pair order) quarter/halve
+    the pool's KV bytes, i.e. 2-4x the pages per GB. Packed pages are safe
+    where the dense pool's packed slabs are not: chunk starts are multiples
+    of prompt_bucket (even), and decode writes read-modify-write the pair
+    byte per row."""
     assert max_seq_len % page_size == 0
     n_pg = max_seq_len // page_size
     assert n_pages >= 2, "need at least the garbage page + one real page"
@@ -89,7 +103,20 @@ def init_paged_cache(
         page_size,
         config.size_per_head,
     )
-    if dtype == jnp.int8:
+    kind = dtype if isinstance(dtype, str) else None
+    if kind in ("int4", "int8k_int4v"):
+        assert page_size % 2 == 0
+        pshape = shape[:3] + (page_size // 2, shape[4])
+        c = {
+            "pk_s": jnp.zeros(shape[:-1], jnp.bfloat16),
+            "pv_s": jnp.zeros(shape[:-1], jnp.bfloat16),
+            "pv4": jnp.zeros(pshape, jnp.int8),
+        }
+        if kind == "int4":
+            c["pk4"] = jnp.zeros(pshape, jnp.int8)
+        else:
+            c["pk"] = jnp.zeros(shape, jnp.int8)
+    elif dtype == jnp.int8:
         c = {
             "pk": jnp.zeros(shape, jnp.int8),
             "pv": jnp.zeros(shape, jnp.int8),
@@ -157,13 +184,31 @@ def write_decode_paged(
         pages = jnp.where(skip, 0, pages)
     offs = positions % ps
 
-    if quantized(cache):
-        kq, ks = _quantize_vec(kt)
-        vq, vs = _quantize_vec(vt)
-        slabs = [("pk", kq), ("pv", vq), ("pk_s", ks), ("pv_s", vs)]
-    else:
-        slabs = [("pk", kt), ("pv", vt)]
-    for name, new in slabs:
+    def w4(name, t):
+        """Packed page write: read-modify-write the position-pair byte (even
+        slots overwrite the whole byte, odd slots merge over the low nibble
+        — the dense cache's nibble order)."""
+        slab = out[name + "4"]
+        q, s = _quantize_vec(t, 7.0)
+        nKV, dh = slab.shape[2], slab.shape[4]
+        for b in range(B):
+            bo = offs[b] // 2
+            old = jax.lax.dynamic_slice(
+                slab, (layer, pages[b], 0, bo, 0), (1, 1, nKV, 1, dh)
+            )
+            qb = q[b][None, None, :, None, :]
+            newb = jnp.where(
+                offs[b] % 2 == 1,
+                (old & 0x0F) | jnp.left_shift(qb, 4),
+                qb & 0xF,
+            )
+            slab = jax.lax.dynamic_update_slice(
+                slab, newb.astype(slab.dtype), (layer, pages[b], 0, bo, 0)
+            )
+        out[name + "4"] = slab
+        _w(name + "_s", s)
+
+    def _w(name, new):
         slab = out[name]
         for b in range(B):
             if slab.ndim == 4:  # scale slab [L, P, nKV, ps], new [B, nKV]
@@ -174,6 +219,18 @@ def write_decode_paged(
                 idx = (layer, pages[b], 0, offs[b], 0)
             slab = jax.lax.dynamic_update_slice(slab, upd.astype(slab.dtype), idx)
         out[name] = slab
+
+    if quantized(cache):
+        for name, t in (("pk", kt), ("pv", vt)):
+            if packed4(cache, name):
+                w4(name, t)
+            else:
+                q, s = _quantize_vec(t)
+                _w(name, q)
+                _w(name + "_s", s)
+    else:
+        _w("pk", kt)
+        _w("pv", vt)
     return out
 
 
@@ -198,23 +255,35 @@ def write_chunk_paged(
     pages = jnp.where(active, pt[jnp.arange(B), pos // ps], 0)
     offs = pos % ps
 
-    if quantized(cache):
-        kq, ks = _quantize_vec(kt)
-        vq, vs = _quantize_vec(vt)
-        slabs = [("pk", kq), ("pv", vq), ("pk_s", ks), ("pv_s", vs)]
-    else:
-        slabs = [("pk", kt), ("pv", vt)]
-    for name, new in slabs:
+    def upd(name, new, half=False):
         slab = out[name]
+        o = offs // 2 if half else offs
         for b in range(B):
             if slab.ndim == 4:  # scale slab, new [B, nKV, C]
-                upd = new[b][None, None]
-                idx = (layer, pages[b], 0, offs[b])
-            else:  # new [B, nKV, C, dh]
-                upd = new[b][None, None]
-                idx = (layer, pages[b], 0, offs[b], 0)
-            slab = jax.lax.dynamic_update_slice(slab, upd.astype(slab.dtype), idx)
+                idx = (layer, pages[b], 0, o[b])
+            else:  # new [B, nKV, C(/2), dh]
+                idx = (layer, pages[b], 0, o[b], 0)
+            slab = jax.lax.dynamic_update_slice(
+                slab, new[b][None, None].astype(slab.dtype), idx
+            )
         out[name] = slab
+
+    if quantized(cache):
+        from .kv_cache import _pack_seq_pairs
+
+        for name, t in (("pk", kt), ("pv", vt)):
+            if packed4(cache, name):
+                assert C % 2 == 0, "packed pages need an even prompt_bucket"
+                q, s = _quantize_vec(t, 7.0)
+                upd(name + "4", _pack_seq_pairs(q), half=True)
+                upd(name + "_s", s)
+            else:
+                q, s = _quantize_vec(t)
+                upd(name, q)
+                upd(name + "_s", s)
+    else:
+        upd("pk", kt)
+        upd("pv", vt)
     return out
 
 
@@ -229,22 +298,26 @@ def gather_layer_dense(cache: Cache, layer) -> Cache:
     LEADING page axis only, so the minor [ps, dh] layout is untouched — no
     position-major relayout pressure (the dense pool's S-axis gather pitfall,
     kv_cache._read_rows docstring)."""
+    from .kv_cache import _unpack_seq_pairs
+
     pt = cache["pt"]
     B, n_pg = pt.shape
     out = {}
-    for name in ("pk", "pv", "pk_s", "pv_s"):
+    for name in ("pk", "pk4", "pv", "pv4", "pk_s", "pv_s"):
         if name not in cache:
             continue
         slab_l = jax.lax.dynamic_index_in_dim(
             cache[name], layer, axis=0, keepdims=False
-        )  # [P, nKV, ps(, dh)]
-        g = jnp.take(slab_l, pt.reshape(-1), axis=0)  # [B*n_pg, nKV, ps(, dh)]
+        )  # [P, nKV, ps(/2)(, dh)]
+        g = jnp.take(slab_l, pt.reshape(-1), axis=0)  # [B*n_pg, nKV, ...]
         g = g.reshape((B, n_pg) + slab_l.shape[1:])
-        if g.ndim == 5:  # [B, n_pg, nKV, ps, dh] -> [B, nKV, S, dh]
+        if g.ndim == 5:  # [B, n_pg, nKV, ps(/2), dh] -> [B, nKV, S, dh]
             g = g.transpose(0, 2, 1, 3, 4).reshape(
                 B, g.shape[2], n_pg * g.shape[3], g.shape[4]
             )
-            out[{"pk": "k", "pv": "v"}[name]] = g
+            if name.endswith("4"):
+                g = _unpack_seq_pairs(g, axis=-2)
+            out[{"pk": "k", "pk4": "k", "pv": "v", "pv4": "v"}[name]] = g
         else:  # [B, n_pg, nKV, ps] -> [B, nKV, S]
             g = g.transpose(0, 2, 1, 3).reshape(B, g.shape[2], n_pg * g.shape[3])
             out[{"pk_s": "k_s", "pv_s": "v_s"}[name]] = g

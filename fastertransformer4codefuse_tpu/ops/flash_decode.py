@@ -375,14 +375,21 @@ def flash_decode_paged(
     the kernel; paged pools never scatter)."""
     B, nH, dh = q.shape
     has_scale = pks is not None
-    L, P, nKV, ps, dh2 = pk.shape
+    L, P, nKV, psk, dh2 = pk.shape
+    # packed int4 pages carry ps/2 position-pair bytes; the scale slab always
+    # has the UNPACKED page size, which defines the grid and mask arithmetic
+    ps = pks.shape[3] if has_scale else psk
+    k_packed = has_scale and 2 * psk == ps
+    v_packed = has_scale and 2 * pv.shape[3] == ps
+    if k_packed or v_packed:
+        assert ps >= 256, "packed pages need page_size >= 256 (sublane tile)"
     n_pg = page_table.shape[1]
     assert (dh, ) == (dh2, ) and nH % nKV == 0
     g = nH // nKV
     q = q.reshape(B, nKV, g, dh)
     hb = next(d for d in range(min(hb, nKV), 0, -1) if nKV % d == 0)
     # VMEM guard: chunk size is pinned to the page size, so only hb shrinks
-    kv_bytes = 2 * pk.dtype.itemsize
+    kv_bytes = (2 - k_packed * 0.5 - v_packed * 0.5) * pk.dtype.itemsize
     while hb > 1 and hb * ps * (dh * kv_bytes + 4 * has_scale) * 2 > 12 * 1024 * 1024:
         hb = next(d for d in range(hb - 1, 0, -1) if nKV % d == 0)
     scalars = jnp.concatenate([
@@ -395,22 +402,26 @@ def flash_decode_paged(
         sc = jnp.minimum(s, sr[1 + b] // ps)  # clamp past the valid prefix
         return sr[1 + B + b * n_pg + sc]
 
-    kv_spec = pl.BlockSpec(
-        (1, 1, hb, ps, dh), lambda b, h, s, sr: (sr[0], _page(b, s, sr), h, 0, 0)
-    )
+    def kv_spec(packed):
+        rows = ps // 2 if packed else ps
+        return pl.BlockSpec(
+            (1, 1, hb, rows, dh),
+            lambda b, h, s, sr: (sr[0], _page(b, s, sr), h, 0, 0),
+        )
+
     sc_spec = pl.BlockSpec(
         (1, 1, hb, ps), lambda b, h, s, sr: (sr[0], _page(b, s, sr), h, 0)
     )
     in_specs = [
         pl.BlockSpec((1, hb, g, dh), lambda b, h, s, sr: (b, h, 0, 0)),
-        kv_spec,
+        kv_spec(k_packed),
     ]
     operands = [q, pk]
     if has_scale:
-        in_specs += [sc_spec, kv_spec, sc_spec]
+        in_specs += [sc_spec, kv_spec(v_packed), sc_spec]
         operands += [pks, pv, pvs]
     else:
-        in_specs += [kv_spec]
+        in_specs += [kv_spec(False)]
         operands += [pv]
     R = hb * g
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -429,7 +440,7 @@ def flash_decode_paged(
     out = pl.pallas_call(
         functools.partial(
             _kernel, sm_scale=sm_scale, bs=ps, n_s=n_pg, hb=hb, g=g,
-            has_scale=has_scale,
+            has_scale=has_scale, k_packed=k_packed, v_packed=v_packed,
             compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
         ),
         grid_spec=grid_spec,

@@ -120,3 +120,29 @@ def test_paged_mid_flight_interleave():
         if len(order) == 2:
             break
     assert order == [short_uid, long_uid]
+
+
+def test_paged_int4_kv_matches_oneshot_int4():
+    """Nibble-packed page pool end-to-end: pooled outputs match the one-shot
+    engine with the same int4 KV cache (per-vector quantization is identical
+    whether written whole-prompt, per-chunk, or per-token)."""
+    cfg = GptNeoXConfig.tiny(head_num=4, size_per_head=8, vocab_size=64)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(
+        cfg, params,
+        RuntimeConfig(dtype="fp32", seq_bucket=8, kv_cache_dtype="int4"),
+    )
+    refs = []
+    for p, ol in zip(PROMPTS[:3], OUT_LENS[:3]):
+        o = eng.generate([p], output_len=ol, top_k=1)
+        n = int(o.sequence_lengths[0, 0])
+        refs.append([int(x) for x in o.output_ids[0, 0, :n]])
+    cb = ContinuousBatcher(
+        eng, max_slots=2, max_seq_len=32, prompt_bucket=8,
+        paged=dict(num_pages=10, page_size=8),
+    )
+    uids = [cb.submit(p, ol, top_k=1) for p, ol in zip(PROMPTS[:3], OUT_LENS[:3])]
+    done = cb.run(max_ticks=200)
+    for uid, ref in zip(uids, refs):
+        assert done[uid].output_ids == ref
+    assert cb.allocator.free_pages == 9

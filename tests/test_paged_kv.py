@@ -185,3 +185,91 @@ def test_page_allocator():
     assert not al.can(6)
     al.release(a)
     assert al.can(9) and not al.can(10)
+
+
+@pytest.mark.parametrize("kind", ["int4", "int8k_int4v"])
+def test_paged_packed_write_decode_matches_dense(kind):
+    """Nibble-packed pages: decode RMW writes produce byte-identical slabs
+    to the dense packed cache."""
+    rng = np.random.RandomState(7)
+    dense = kvc.init_cache(CFG, B, S, kind)
+    pg = paged.init_paged_cache(
+        CFG, B, S, n_pages=B * NPG + 3, page_size=PS, dtype=kind
+    )
+    pg["pt"] = scrambled_tables(rng, B * NPG + 3)
+    nKV, dh = CFG.kv_heads, CFG.size_per_head
+    for layer in range(CFG.layer_num):
+        for step in range(6):
+            k = jnp.asarray(rng.randn(B, 1, nKV, dh), jnp.float32)
+            v = jnp.asarray(rng.randn(B, 1, nKV, dh), jnp.float32)
+            posn = jnp.asarray(rng.randint(0, S, size=(B,)), jnp.int32)
+            dense = kvc.write_decode(dense, layer, k, v, posn)
+            pg = kvc.write_decode(pg, layer, k, v, posn)
+        gat = paged.gather_layer_dense(pg, layer)
+        want = kvc._unpack_layer({
+            n: dense[n][layer] for n in dense
+        })
+        for name in gat:
+            np.testing.assert_array_equal(
+                np.asarray(gat[name]), np.asarray(want[name]), err_msg=name
+            )
+
+
+def test_paged_packed_chunk_equals_decode_writes():
+    """A C-wide packed chunk write must equal C per-position decode writes
+    (same per-vector quantization either way)."""
+    rng = np.random.RandomState(8)
+    mk = lambda: paged.init_paged_cache(
+        CFG, B, S, n_pages=B * NPG + 2, page_size=PS, dtype="int4"
+    )
+    pt = scrambled_tables(rng, B * NPG + 2)
+    a, bcache = mk(), mk()
+    a["pt"] = pt
+    bcache["pt"] = pt
+    C = PS // 2  # even
+    nKV, dh = CFG.kv_heads, CFG.size_per_head
+    k = jnp.asarray(rng.randn(B, C, nKV, dh), jnp.float32)
+    v = jnp.asarray(rng.randn(B, C, nKV, dh), jnp.float32)
+    start = jnp.full((B,), PS, jnp.int32)  # page-aligned chunk start
+    a = kvc.write_chunk(a, 0, k, v, start, jnp.ones((B,), bool))
+    for c in range(C):
+        bcache = kvc.write_decode(
+            bcache, 0, k[:, c: c + 1], v[:, c: c + 1], start + c
+        )
+    ga, gb = paged.gather_layer_dense(a, 0), paged.gather_layer_dense(bcache, 0)
+    for name in ga:
+        np.testing.assert_array_equal(np.asarray(ga[name]), np.asarray(gb[name]))
+
+
+@pytest.mark.parametrize("kind", ["int4", "int8k_int4v"])
+def test_flash_decode_paged_packed_interpret_parity(kind):
+    """Block-table kernel over PACKED pages (interpret) vs the XLA gather
+    path, at kernel-real shapes."""
+    from fastertransformer4codefuse_tpu.ops.flash_decode import flash_decode_paged
+    from fastertransformer4codefuse_tpu.engine.paged_kv import _slab
+
+    cfg = GptNeoXConfig.tiny(head_num=2, size_per_head=128, layer_num=1)
+    ps, npg, nb = 256, 3, 2
+    Sl = ps * npg
+    rng = np.random.RandomState(9)
+    pg = paged.init_paged_cache(
+        cfg, nb, Sl, n_pages=nb * npg + 2, page_size=ps, dtype=kind
+    )
+    ids = rng.permutation(np.arange(1, nb * npg + 2))[: nb * npg]
+    pg["pt"] = jnp.asarray(ids.reshape(nb, npg).astype(np.int32))
+    nKV, dh = cfg.kv_heads, cfg.size_per_head
+    posn = jnp.asarray([300, 520], jnp.int32)
+    for p in range(int(posn.max()) + 1):
+        k = jnp.asarray(rng.randn(nb, 1, nKV, dh), jnp.float32)
+        v = jnp.asarray(rng.randn(nb, 1, nKV, dh), jnp.float32)
+        pg = kvc.write_decode(pg, 0, k, v, jnp.minimum(posn, p))
+    q = jnp.asarray(rng.randn(nb, cfg.head_num, dh), jnp.float32)
+    valid = jnp.arange(Sl)[None, :] <= posn[:, None]
+    want = kvc.attend_chunk(pg, 0, q[:, None], valid[:, None, :], 0.1)[:, 0]
+    got = flash_decode_paged(
+        q, _slab(pg, "pk"), pg.get("pk_s"), _slab(pg, "pv"), pg.get("pv_s"),
+        jnp.int32(0), posn, pg["pt"], sm_scale=0.1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=3e-2, rtol=3e-2
+    )

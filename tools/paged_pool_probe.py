@@ -37,6 +37,10 @@ Measured (13B W4 g128 + int8 KV, v5e, 2026-08-20):
      dispatch-before-fetch hides the ~23 ms tunnel sync behind compute
   g) paged flash B=16 PIPELINED
                               30.6 ms/tick (524 tok/s) — 1.89x over (d)
+  h) paged INT4-KV B=32 pipelined (--kv int4 --wide 32)
+                              39.3 ms/tick (814 tok/s aggregate) — packed
+     pages halve the KV bytes again; a 32x1024 13B pool fits and runs where
+     the dense pool OOMs at HALF that width
 """
 from __future__ import annotations
 
@@ -60,6 +64,7 @@ def main():
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--group", type=int, default=128)
     ap.add_argument("--page", type=int, default=256)
+    ap.add_argument("--kv", default="int8", help="KV cache dtype (int8|int4)")
     ap.add_argument("--case", default="")
     args = ap.parse_args()
 
@@ -97,7 +102,7 @@ def main():
     jax.block_until_ready(params)
     eng = GptNeoXEngine(
         cfg, params,
-        RuntimeConfig(dtype="bf16", int8_mode=1, kv_cache_dtype="int8",
+        RuntimeConfig(dtype="bf16", int8_mode=1, kv_cache_dtype=args.kv,
                       seq_bucket=128),
     )
 
@@ -165,8 +170,15 @@ def main():
             fresh_pool(args.wide, pipeline_ticks=True, **paged_kw(args.wide)),
             f"g) paged flash B={args.wide} pipelined", args.wide,
         )
+    elif args.case == "h":
+        # packed int4-KV pages (--kv int4): half the page bytes again, so
+        # widths no other cache mode fits — run with --wide 32
+        time_ticks(
+            fresh_pool(args.wide, pipeline_ticks=True, **paged_kw(args.wide)),
+            f"h) paged {args.kv}-KV flash B={args.wide} pipelined", args.wide,
+        )
     else:
-        raise SystemExit(f"unknown --case {args.case!r} (a-g)")
+        raise SystemExit(f"unknown --case {args.case!r} (a-h)")
 
 
 if __name__ == "__main__":
