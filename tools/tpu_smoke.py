@@ -327,6 +327,29 @@ def main():
     print(f"paged flash kernel vs XLA gather @S={Sp}: maxerr {errp:.4f}")
     assert errp < 0.05, errp
 
+    # packed int4-KV pages: hardware nibble order vs the XLA unpack path
+    pgp = {
+        "pk4": jnp.asarray(
+            rng.integers(-128, 128, (L, P, nH, ps // 2, dh)), jnp.int8
+        ),
+        "pv4": jnp.asarray(
+            rng.integers(-128, 128, (L, P, nH, ps // 2, dh)), jnp.int8
+        ),
+        "pk_s": jnp.asarray(rng.random((L, P, nH, ps)) * 0.02, jnp.bfloat16),
+        "pv_s": jnp.asarray(rng.random((L, P, nH, ps)) * 0.02, jnp.bfloat16),
+        "pt": cachep["pt"],
+    }
+    kvc.set_flash_decode(False)
+    refpp = kvc.attend_decode(pgp, jnp.int32(1), qp, validp, 0.088, positions=posp)
+    kvc.set_flash_decode(True)
+    outpp = flash_decode_paged(
+        qp, pgp["pk4"], pgp["pk_s"], pgp["pv4"], pgp["pv_s"],
+        jnp.int32(1), posp, pgp["pt"], sm_scale=0.088,
+    )
+    errpp = float(jnp.max(jnp.abs(outpp.astype(jnp.float32) - refpp.astype(jnp.float32))))
+    print(f"paged PACKED-int4 flash kernel vs XLA @S={Sp}: maxerr {errpp:.4f}")
+    assert errpp < 0.05, errpp
+
     # paged batcher end-to-end on chip matches the one-shot engine
     engp = GptNeoXEngine(cfg, params_fp, RuntimeConfig(dtype="bf16", seq_bucket=8))
     from fastertransformer4codefuse_tpu.engine.batcher import ContinuousBatcher
