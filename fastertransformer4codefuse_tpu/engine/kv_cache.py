@@ -415,7 +415,8 @@ def write_chunk(
 
 
 def attend_chunk(
-    cache: Cache, layer, q: jax.Array, valid: jax.Array, sm_scale: float
+    cache: Cache, layer, q: jax.Array, valid: jax.Array, sm_scale: float,
+    positions=None,  # [B] chunk START slots — enables the paged chunk kernel
 ) -> jax.Array:
     """C-query attention over layer ``layer`` of the full cache.
 
@@ -429,6 +430,23 @@ def attend_chunk(
         from . import paged_kv as _paged
 
         nKV = _paged._slab(cache, "pk").shape[2]
+        if (
+            _FLASH_DECODE
+            and positions is not None
+            and dh in (128, 256)
+            and seq_len_of(cache) >= _FLASH_MIN_S[_paged.quantized(cache)]
+            and nH % nKV == 0
+        ):
+            # paged chunk kernel: per-row consecutive-position bounds, GQA
+            # handled in-kernel — dispatch BEFORE the GQA fold below (the
+            # fold interleaves query positions, breaking consecutiveness)
+            from ..ops.flash_decode import flash_chunk_paged
+
+            return flash_chunk_paged(
+                q, _paged._slab(cache, "pk"), cache.get("pk_s"),
+                _paged._slab(cache, "pv"), cache.get("pv_s"),
+                layer, positions, cache["pt"], sm_scale=sm_scale,
+            )
     else:
         nKV = cache["k_s"].shape[2] if "k_s" in cache else cache["k"].shape[2]
     if nH != nKV:

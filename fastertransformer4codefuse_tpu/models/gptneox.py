@@ -379,7 +379,9 @@ def block_prefill_chunk(
     q, k, v = _qkv(config, lp, ln1, cos, sin, layer)  # [B, C, nH, dh]
 
     cache = kvc.write_chunk(cache, layer, k, v, pos, active)
-    attn = kvc.attend_chunk(cache, layer, q, valid, sm_scale)  # [B, C, nH, dh]
+    attn = kvc.attend_chunk(
+        cache, layer, q, valid, sm_scale, positions=pos
+    )  # [B, C, nH, dh]
     attn_out = linear(attn.reshape(B, C, H), lp["proj_w"], layer=layer)
 
     tv = None

@@ -40,18 +40,25 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _kernel(
     scalars_ref, q_ref, k_ref, *rest, sm_scale, bs, n_s, hb, g, has_scale,
-    k_packed=False, v_packed=False, compute_dtype=jnp.bfloat16,
+    k_packed=False, v_packed=False, compute_dtype=jnp.bfloat16, gq=None,
 ):
-    """``g`` = query heads per KV head (1 = plain MHA; >1 = GQA, the LLaMA
+    """``g`` = query rows per KV head (1 = plain MHA; >1 = GQA, the LLaMA
     family): the per-KV-head query dot simply widens from M=1 to M=g — the
     KV bytes are still read once per KV head, matching the reference decode
     kernel's head_num/kv_head_num grouping
-    (decoder_masked_multihead_attention_template.hpp)."""
+    (decoder_masked_multihead_attention_template.hpp).
+
+    ``gq`` (chunk mode, flash_chunk_paged): g = C * gq packs C CONSECUTIVE
+    query positions per GQA group of gq heads; row r's causal bound is then
+    pos + (r % g) // gq, where ``pos`` is the chunk's START position — the
+    multi-query generalization needs no per-query scalars because chunk
+    positions are consecutive."""
     if has_scale:
         ks_ref, v_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = rest
     else:
         v_ref, o_ref, m_ref, l_ref, acc_ref = rest
     R = hb * g  # flattened (kv_head, group) score rows
+    cq = 1 if gq is None else g // gq  # consecutive query positions
 
     def load_kv(ref, packed):
         # packed int4 slabs: bitcast doubles the sublane (sequence) axis with
@@ -72,10 +79,15 @@ def _kernel(
 
     # chunks fully past the valid prefix contribute nothing; skip their math
     # (their DMA is already in flight — the win is VPU time, not bytes)
-    @pl.when(s_idx * bs <= pos)
+    @pl.when(s_idx * bs <= pos + cq - 1)
     def _compute():
         col = jax.lax.broadcasted_iota(jnp.int32, (R, bs), 1) + s_idx * bs
-        valid = col <= pos
+        if cq == 1:
+            bound = pos
+        else:  # per-row query offset within the consecutive chunk
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, bs), 0)
+            bound = pos + (r_iota % g) // (g // cq)
+        valid = col <= bound
         qb = q_ref[0].astype(compute_dtype)  # [hb, g, dh]
         kf = load_kv(k_ref, k_packed)  # [hb, bs, dh]
         # scores = q @ k^T: hb-batched M=g MXU dot, LANE-major [hb, g, bs]
@@ -92,6 +104,11 @@ def _kernel(
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(scores - m_new)  # [R, bs]; masked cols -> 0
+        if cq > 1:
+            # per-row bounds: a row whose bound lies wholly before this chunk
+            # has ALL scores at MASK_VALUE, making p = exp(0) = 1 — re-mask
+            # so such rows contribute nothing (same hazard as _beam_kernel)
+            p = jnp.where(valid, p, 0.0)
 
         if has_scale:
             # OOB tail loads can hold NaN bit patterns in the scale slab
@@ -103,9 +120,10 @@ def _kernel(
             pv_w = p
         vf = load_kv(v_ref, v_packed)  # [hb, bs, dh]
         if not has_scale:
-            # float caches: tail garbage could be NaN while p is 0
+            # float caches: tail garbage could be NaN while p is 0 (chunk
+            # mode: valid data extends through the chunk's own last write)
             row = jax.lax.broadcasted_iota(jnp.int32, (hb, bs, 1), 1) + s_idx * bs
-            vf = jnp.where(row <= pos, vf, 0.0)
+            vf = jnp.where(row <= pos + cq - 1, vf, 0.0)
         # pv = p @ v: hb-batched M=g MXU dot, K=bs on v's sublanes
         pv = jax.lax.dot_general(
             pv_w.astype(compute_dtype).reshape(hb, g, bs), vf,
@@ -456,6 +474,119 @@ def flash_decode_paged(
         interpret=interpret,
     )(scalars, *operands)
     return out.reshape(B, nH, dh)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "hb", "interpret"))
+def flash_chunk_paged(
+    q: jax.Array,  # [B, C, nH, dh] — C CONSECUTIVE query positions per row
+    pk: jax.Array,  # [L, P, nKV, ps(/2), dh]
+    pks,
+    pv: jax.Array,
+    pvs,
+    layer: jax.Array,
+    pos: jax.Array,  # [B] chunk START positions
+    page_table: jax.Array,  # [B, n_pg]
+    sm_scale: float,
+    hb: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Chunked-prefill attention over a PAGED pool: the multi-query
+    generalization of flash_decode_paged. The C chunk queries ride the
+    kernel's per-KV-head row axis (g = C * gqa) with per-row causal bounds
+    pos + query_offset — expressible without per-query scalars because chunk
+    positions are consecutive. Replaces the XLA page-gather fallback that
+    materialized the whole logical cache per layer on chunk ticks (measured
+    +16% per chunk tick at 13B B=8)."""
+    B, C, nH, dh = q.shape
+    has_scale = pks is not None
+    L, P, nKV, psk, dh2 = pk.shape
+    ps = pks.shape[3] if has_scale else psk
+    k_packed = has_scale and 2 * psk == ps
+    v_packed = has_scale and 2 * pv.shape[3] == ps
+    n_pg = page_table.shape[1]
+    gq = nH // nKV
+    g = C * gq
+    qg = (
+        q.reshape(B, C, nKV, gq, dh)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, nKV, g, dh)
+    )
+    hb = next(d for d in range(min(hb, nKV), 0, -1) if nKV % d == 0)
+    # VMEM guard: R = hb * C * gq rows of fp32 scratch + the KV block
+    kv_bytes = (2 - k_packed * 0.5 - v_packed * 0.5) * pk.dtype.itemsize
+    while hb > 1 and (
+        hb * ps * (dh * kv_bytes + 4 * has_scale) * 2
+        + hb * g * (256 + dh) * 4
+    ) > 12 * 1024 * 1024:
+        hb = next(d for d in range(hb - 1, 0, -1) if nKV % d == 0)
+    scalars = jnp.concatenate([
+        jnp.asarray(layer, jnp.int32).reshape(1),
+        pos.astype(jnp.int32),
+        page_table.astype(jnp.int32).reshape(-1),
+    ])
+
+    def _page(b, s, sr):
+        sc = jnp.minimum(s, (sr[1 + b] + C - 1) // ps)
+        return sr[1 + B + b * n_pg + sc]
+
+    def kv_spec(packed):
+        rows = ps // 2 if packed else ps
+        return pl.BlockSpec(
+            (1, 1, hb, rows, dh),
+            lambda b, h, s, sr: (sr[0], _page(b, s, sr), h, 0, 0),
+        )
+
+    sc_spec = pl.BlockSpec(
+        (1, 1, hb, ps), lambda b, h, s, sr: (sr[0], _page(b, s, sr), h, 0)
+    )
+    in_specs = [
+        pl.BlockSpec((1, hb, g, dh), lambda b, h, s, sr: (b, h, 0, 0)),
+        kv_spec(k_packed),
+    ]
+    operands = [qg, pk]
+    if has_scale:
+        in_specs += [sc_spec, kv_spec(v_packed), sc_spec]
+        operands += [pks, pv, pvs]
+    else:
+        in_specs += [kv_spec(False)]
+        operands += [pv]
+    R = hb * g
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nKV // hb, n_pg),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, hb, g, dh), lambda b, h, s, sr: (b, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, sm_scale=sm_scale, bs=ps, n_s=n_pg, hb=hb, g=g, gq=gq,
+            has_scale=has_scale, k_packed=k_packed, v_packed=v_packed,
+            compute_dtype=jnp.float32 if interpret else jnp.bfloat16,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, nKV, g, dh), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * nH * C * n_pg * ps * dh,
+            bytes_accessed=2 * B * nKV * n_pg * ps * dh * pk.dtype.itemsize,
+            transcendentals=B * nH * C * n_pg * ps,
+        ),
+        interpret=interpret,
+    )(scalars, *operands)
+    return (
+        out.reshape(B, nKV, C, gq, dh)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(B, C, nH, dh)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "hb", "bs", "interpret"))

@@ -273,3 +273,48 @@ def test_flash_decode_paged_packed_interpret_parity(kind):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=3e-2, rtol=3e-2
     )
+
+
+@pytest.mark.parametrize("kind", [jnp.int8, "int4", jnp.float32])
+@pytest.mark.parametrize("g", [1, 2])
+def test_flash_chunk_paged_interpret_parity(kind, g):
+    """The multi-query paged chunk kernel (per-row consecutive causal
+    bounds, GQA in-kernel) vs the XLA page-gather path."""
+    from fastertransformer4codefuse_tpu.ops.flash_decode import flash_chunk_paged
+    from fastertransformer4codefuse_tpu.engine.paged_kv import _slab
+
+    cfg = GptNeoXConfig.tiny(
+        head_num=2 * g, size_per_head=128, layer_num=1,
+        kv_head_num=2 if g > 1 else None,
+        qkv_layout="concat" if g > 1 else "interleaved",
+    )
+    ps, npg, nb, C = 256, 3, 2, 8
+    Sl = ps * npg
+    rng = np.random.RandomState(11)
+    pg = paged.init_paged_cache(
+        cfg, nb, Sl, n_pages=nb * npg + 2, page_size=ps, dtype=kind
+    )
+    ids = rng.permutation(np.arange(1, nb * npg + 2))[: nb * npg]
+    pg["pt"] = jnp.asarray(ids.reshape(nb, npg).astype(np.int32))
+    nKV, dh = cfg.kv_heads, cfg.size_per_head
+    # fill a prefix, then write the chunk itself (attend sees both)
+    starts = jnp.asarray([248, 512], jnp.int32)  # one straddles a page edge
+    for p in range(int(starts.max())):
+        k = jnp.asarray(rng.randn(nb, 1, nKV, dh), jnp.float32)
+        v = jnp.asarray(rng.randn(nb, 1, nKV, dh), jnp.float32)
+        pg = kvc.write_decode(pg, 0, k, v, jnp.minimum(starts, p))
+    kc = jnp.asarray(rng.randn(nb, C, nKV, dh), jnp.float32)
+    vc = jnp.asarray(rng.randn(nb, C, nKV, dh), jnp.float32)
+    pg = kvc.write_chunk(pg, 0, kc, vc, starts, jnp.ones((nb,), bool))
+
+    q = jnp.asarray(rng.randn(nb, C, cfg.head_num, dh), jnp.float32)
+    posc = starts[:, None] + jnp.arange(C)[None, :]
+    valid = jnp.arange(Sl)[None, None, :] <= posc[:, :, None]
+    want = kvc.attend_chunk(pg, 0, q, valid, 0.1)  # gather path (no positions)
+    got = flash_chunk_paged(
+        q, _slab(pg, "pk"), pg.get("pk_s"), _slab(pg, "pv"), pg.get("pv_s"),
+        jnp.int32(0), starts, pg["pt"], sm_scale=0.1, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=3e-2, rtol=3e-2
+    )

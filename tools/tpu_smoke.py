@@ -350,6 +350,25 @@ def main():
     print(f"paged PACKED-int4 flash kernel vs XLA @S={Sp}: maxerr {errpp:.4f}")
     assert errpp < 0.05, errpp
 
+    # paged CHUNK kernel (multi-query, per-row consecutive bounds) on chip
+    from fastertransformer4codefuse_tpu.ops.flash_decode import flash_chunk_paged
+
+    Cq = 8
+    startq = jnp.asarray([248, 512], jnp.int32)
+    qc = jnp.asarray(rng.standard_normal((Bp, Cq, nH, dh)), jnp.bfloat16)
+    poscq = startq[:, None] + jnp.arange(Cq)[None, :]
+    validq = jnp.arange(Sp)[None, None, :] <= poscq[:, :, None]
+    kvc.set_flash_decode(False)
+    refc = kvc.attend_chunk(cachep, jnp.int32(1), qc, validq, 0.088)
+    kvc.set_flash_decode(True)
+    outc = flash_chunk_paged(
+        qc, cachep["pk"], cachep["pk_s"], cachep["pv"], cachep["pv_s"],
+        jnp.int32(1), startq, cachep["pt"], sm_scale=0.088,
+    )
+    errc = float(jnp.max(jnp.abs(outc.astype(jnp.float32) - refc.astype(jnp.float32))))
+    print(f"paged chunk kernel vs XLA gather @S={Sp} C={Cq}: maxerr {errc:.4f}")
+    assert errc < 0.05, errc
+
     # paged batcher end-to-end on chip matches the one-shot engine
     engp = GptNeoXEngine(cfg, params_fp, RuntimeConfig(dtype="bf16", seq_bucket=8))
     from fastertransformer4codefuse_tpu.engine.batcher import ContinuousBatcher
