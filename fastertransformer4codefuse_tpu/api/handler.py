@@ -347,10 +347,14 @@ class CodeFuseHandler:
             beam_width = data_package["beam_width"]
             random_seed = data_package["random_seed"]
 
-            prompts_maybe = [
-                list(self.tokenizer.encode(t)) for t in data_package["texts"]
-            ]
-            if self._spec_eligible(
+            # the static generate() path re-encodes internally; only tokenize
+            # here for the routes that need token ids up front
+            if request_dict.get("speculative") or self.server is not None:
+                prompts_maybe = [
+                    list(self.tokenizer.encode(t))
+                    for t in data_package["texts"]
+                ]
+            if request_dict.get("speculative") and self._spec_eligible(
                 request_dict, data_package, prompts_maybe, use_callback
             ):
                 response = self._predict_speculative(data_package, prompts_maybe)

@@ -45,15 +45,27 @@ def stack_layers(fn, num_layers: int, dtype):
     return jnp.asarray(np.stack([fn(i) for i in range(num_layers)]), dtype)
 
 
-def fused_qkv_concat(get, i: int) -> np.ndarray:
+def fused_qkv_concat(
+    get, i: int, prefix: str = "model.layers.{}.self_attn."
+) -> np.ndarray:
     """HF separate q/k/v Linears [out, H] -> the engine's fused
     [H, q_all | k_all | v_all] (qkv_layout="concat"; LLaMA / Qwen2 /
-    Mixtral share the model.layers.{i}.self_attn naming)."""
-    p = f"model.layers.{i}.self_attn."
+    Mixtral share the default naming, OPT passes its own prefix)."""
+    p = prefix.format(i)
     return np.concatenate(
         [get(p + "q_proj.weight").T, get(p + "k_proj.weight").T,
          get(p + "v_proj.weight").T],
         axis=1,
+    )
+
+
+def fused_qkv_bias_concat(
+    get, i: int, prefix: str = "model.layers.{}.self_attn."
+) -> np.ndarray:
+    """Concat bias counterpart of fused_qkv_concat (Qwen2, OPT)."""
+    p = prefix.format(i)
+    return np.concatenate(
+        [get(p + "q_proj.bias"), get(p + "k_proj.bias"), get(p + "v_proj.bias")]
     )
 
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..core.config import GptNeoXConfig
 from ..core.dtypes import jnp_dtype
 from ..models.params import Params
-from .convert import _np, stack_layers
+from .convert import _np, fused_qkv_bias_concat, fused_qkv_concat, stack_layers
 
 
 def config_from_hf_opt(hf_config, model_name: str = "opt") -> GptNeoXConfig:
@@ -70,18 +70,10 @@ def params_from_hf_opt_state_dict(
         return _np(sd[pre + name])
 
     def fused_qkv(i):
-        p = f"layers.{i}.self_attn."
-        return np.concatenate(
-            [get(p + "q_proj.weight").T, get(p + "k_proj.weight").T,
-             get(p + "v_proj.weight").T], axis=1,
-        )
+        return fused_qkv_concat(get, i, "layers.{}.self_attn.")
 
     def fused_qkv_b(i):
-        p = f"layers.{i}.self_attn."
-        return np.concatenate(
-            [get(p + "q_proj.bias"), get(p + "k_proj.bias"),
-             get(p + "v_proj.bias")]
-        )
+        return fused_qkv_bias_concat(get, i, "layers.{}.self_attn.")
 
     def stack(fn):
         return stack_layers(fn, L, dtype)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..core.config import GptNeoXConfig
 from ..core.dtypes import jnp_dtype
 from ..models.params import Params
-from .convert import _np, fused_qkv_concat, stack_layers
+from .convert import _np, fused_qkv_bias_concat, fused_qkv_concat, stack_layers
 
 
 def config_from_hf_qwen2(hf_config, model_name: str = "qwen2") -> GptNeoXConfig:
@@ -70,11 +70,7 @@ def params_from_hf_qwen2_state_dict(
         return fused_qkv_concat(get, i)
 
     def fused_qkv_bias(i):
-        p = f"model.layers.{i}.self_attn."
-        return np.concatenate(
-            [get(p + "q_proj.bias"), get(p + "k_proj.bias"),
-             get(p + "v_proj.bias")]
-        )
+        return fused_qkv_bias_concat(get, i)
 
     def stack(fn):
         return stack_layers(fn, L, dtype)

@@ -87,9 +87,9 @@ def params_from_hf_bert_state_dict(
     L = config.layer_num
 
     def stack(fn):
-        return jnp.asarray(np.stack([fn(i) for i in range(L)]), dtype)
+        from ..ckpt.convert import stack_layers
 
-    p = "encoder.layer.{}.{}"
+        return stack_layers(fn, L, dtype)
 
     def fused_qkv(i):
         a = f"encoder.layer.{i}.attention.self."

@@ -89,7 +89,9 @@ def params_from_hf_t5_state_dict(
         return _np(sd[name])
 
     def stack(L, fn):
-        return jnp.asarray(np.stack([fn(i) for i in range(L)]), dtype)
+        from ..ckpt.convert import stack_layers
+
+        return stack_layers(fn, L, dtype)
 
     def attn(pfx, i, which):
         return get(f"{pfx}.block.{i}.layer.0.SelfAttention.{which}.weight").T
@@ -232,12 +234,20 @@ def encode(config: T5Config, params, input_ids, lengths):
 
 def init_decoder_state(config: T5Config, params, enc_hidden, enc_lengths, S_out):
     """Self-attn cache slabs + cross K/V projected ONCE from the encoder."""
-    B = enc_hidden.shape[0]
+    B, S_enc = enc_hidden.shape[0], enc_hidden.shape[1]
     nH, dh = config.head_num, config.size_per_head
     Ld = config.dec_layer_num
     dec = params["dec"]
-    xk = jnp.stack([_mh(enc_hidden, dec["xk_w"][l], nH, dh) for l in range(Ld)])
-    xv = jnp.stack([_mh(enc_hidden, dec["xv_w"][l], nH, dh) for l in range(Ld)])
+
+    def proj_all(w):  # ONE batched GEMM over all layers, not Ld separate ones
+        y = jnp.einsum(
+            "bsd,ldn->lbsn", enc_hidden, w.astype(enc_hidden.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(enc_hidden.dtype)
+        return y.reshape(Ld, B, S_enc, nH, dh)
+
+    xk = proj_all(dec["xk_w"])
+    xv = proj_all(dec["xv_w"])
     return {
         "self_k": jnp.zeros((Ld, B, S_out, nH, dh), enc_hidden.dtype),
         "self_v": jnp.zeros((Ld, B, S_out, nH, dh), enc_hidden.dtype),
