@@ -146,3 +146,28 @@ def test_paged_int4_kv_matches_oneshot_int4():
     for uid, ref in zip(uids, refs):
         assert done[uid].output_ids == ref
     assert cb.allocator.free_pages == 9
+
+
+def test_multipool_paged_classes():
+    """MultiPoolServer with PAGED classes (each class its own page pool +
+    pipelined ticks): routing, parity, and page accounting all compose."""
+    from fastertransformer4codefuse_tpu.engine.server import MultiPoolServer
+
+    eng = mk_engine()
+    refs = oneshot_refs(eng)
+    srv = MultiPoolServer(
+        eng,
+        [dict(max_slots=2, max_seq_len=16, prompt_bucket=8,
+              paged=dict(num_pages=6, page_size=8), pipeline_ticks=True),
+         dict(max_slots=2, max_seq_len=32, prompt_bucket=8,
+              paged=dict(num_pages=10, page_size=8), pipeline_ticks=True)],
+    )
+    try:
+        uids = [srv.submit(p, ol, top_k=1) for p, ol in zip(PROMPTS, OUT_LENS)]
+        for uid, ref in zip(uids, refs):
+            r = srv.wait(uid, timeout=120)
+            assert r.output_ids == ref
+        for s in srv.servers:
+            assert s.batcher.allocator.free_pages == s.batcher.allocator.n_pages - 1
+    finally:
+        srv.close()
