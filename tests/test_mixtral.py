@@ -153,3 +153,38 @@ def test_mixtral_registry():
     from fastertransformer4codefuse_tpu.models import registry
 
     assert "mixtral" in registry.families()
+
+
+def test_moe_padding_does_not_steal_capacity():
+    """Review-fix regression: with a tight capacity factor, padding tokens
+    (valid=False) must not consume expert slots that belong to real tokens —
+    real tokens' outputs must be unchanged by how much padding rides along."""
+    import jax.numpy as jnp
+
+    from fastertransformer4codefuse_tpu.ops.moe import moe_ffn
+
+    rng = np.random.RandomState(5)
+    T_real, T_pad, H, I, E = 8, 24, 8, 12, 4
+    xr = rng.randn(T_real, H).astype(np.float32)
+    router = jnp.asarray(rng.randn(H, E), jnp.float32)
+    gate = jnp.asarray(rng.randn(E, H, I) * 0.1, jnp.float32)
+    up = jnp.asarray(rng.randn(E, H, I) * 0.1, jnp.float32)
+    down = jnp.asarray(rng.randn(E, I, H) * 0.1, jnp.float32)
+
+    # baseline: real tokens alone with ample capacity (no drops possible)
+    base = moe_ffn(jnp.asarray(xr), router, gate, up, down, 2, 8.0)
+
+    # same real tokens + a flood of identical padding rows AHEAD of them in
+    # flat order. Combined capacity C = ceil(32*2/4 * 0.5) = 8 slots/expert:
+    # enough for every real assignment (max 16 across 4 experts), but the 24
+    # identical padding rows would fill their two chosen experts' 8 slots
+    # first — without the valid mask the real tokens behind them get dropped
+    pad = np.tile(xr[:1], (T_pad, 1))
+    x_all = jnp.asarray(np.concatenate([pad, xr]), jnp.float32)
+    valid = jnp.asarray([False] * T_pad + [True] * T_real)
+    out = moe_ffn(x_all, router, gate, up, down, 2, 0.5, valid=valid)
+    np.testing.assert_allclose(
+        np.asarray(out[T_pad:]), np.asarray(base), atol=1e-5, rtol=1e-5
+    )
+    # padding rows produce zeros (null expert)
+    assert np.abs(np.asarray(out[:T_pad])).max() == 0.0
