@@ -46,8 +46,9 @@ def config_from_hf_opt(hf_config, model_name: str = "opt") -> GptNeoXConfig:
         layer_num=g("num_hidden_layers"),
         rotary_embedding_dim=0,
         vocab_size=g("vocab_size"),
-        start_id=g("bos_token_id") or 2,
-        end_id=g("eos_token_id") or 2,
+        # `or 2` would silently remap legitimate token id 0
+        start_id=g("bos_token_id") if g("bos_token_id") is not None else 2,
+        end_id=g("eos_token_id") if g("eos_token_id") is not None else 2,
         use_gptj_residual=False,
         layernorm_eps=1e-5,
         activation={"relu": "relu", "gelu": "gelu"}.get(

@@ -430,12 +430,14 @@ def attend_chunk(
         from . import paged_kv as _paged
 
         nKV = _paged._slab(cache, "pk").shape[2]
+        packed = _paged.packed4(cache, "pk") or _paged.packed4(cache, "pv")
         if (
             _FLASH_DECODE
             and positions is not None
             and dh in (128, 256)
             and seq_len_of(cache) >= _FLASH_MIN_S[_paged.quantized(cache)]
             and nH % nKV == 0
+            and (not packed or _paged.page_size(cache) >= 256)  # sublane tile
         ):
             # paged chunk kernel: per-row consecutive-position bounds, GQA
             # handled in-kernel — dispatch BEFORE the GQA fold below (the
@@ -666,12 +668,16 @@ def attend_decode(
         pvs = _paged._slab(cache, "pv")
         dh = pvs.shape[4]
         nKV = pvs.shape[2]
+        packed = _paged.packed4(cache, "pk") or _paged.packed4(cache, "pv")
         if (
             _FLASH_DECODE
             and positions is not None
             and dh in (128, 256)
             and S >= _FLASH_MIN_S[_paged.quantized(cache)]
             and q.shape[1] % nKV == 0
+            # packed pages need >= 256 positions/page (sublane tile); smaller
+            # pages fall back to the XLA gather path instead of asserting
+            and (not packed or _paged.page_size(cache) >= 256)
         ):
             from ..ops.flash_decode import flash_decode_paged
 

@@ -104,6 +104,11 @@ def init_paged_cache(
         config.size_per_head,
     )
     kind = dtype if isinstance(dtype, str) else None
+    if kind is not None and kind not in ("int4", "int8k_int4v"):
+        raise ValueError(
+            f"unknown paged-cache dtype string {kind!r}: pass a jnp dtype "
+            "(e.g. jnp.int8) or 'int4' / 'int8k_int4v'"
+        )
     if kind in ("int4", "int8k_int4v"):
         assert page_size % 2 == 0
         pshape = shape[:3] + (page_size // 2, shape[4])

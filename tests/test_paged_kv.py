@@ -318,3 +318,44 @@ def test_flash_chunk_paged_interpret_parity(kind, g):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=3e-2, rtol=3e-2
     )
+
+
+def test_paged_small_packed_pages_fall_back_not_crash():
+    """Packed pools with page_size < 256 must take the XLA path (review
+    finding: the kernel's sublane-tile assert would otherwise kill the
+    serving pool at runtime). PS=8 here — attends must just work."""
+    # ps=128 < 256 with logical S=512 >= the flash gate: only the new
+    # packed-page-size condition stands between the dispatch and the
+    # kernel's assert
+    cfg = GptNeoXConfig.tiny(head_num=2, size_per_head=128, layer_num=1)
+    ps, npg, nb = 128, 4, 2
+    Sl = ps * npg
+    rng = np.random.RandomState(12)
+    pg = paged.init_paged_cache(
+        cfg, nb, Sl, n_pages=nb * npg + 2, page_size=ps, dtype="int4"
+    )
+    ids = rng.permutation(np.arange(1, nb * npg + 2))[: nb * npg]
+    pg["pt"] = jnp.asarray(ids.reshape(nb, npg).astype(np.int32))
+    nKV, dh = cfg.kv_heads, cfg.size_per_head
+    posn = jnp.asarray([3, 9], jnp.int32)
+    for p in range(int(posn.max()) + 1):
+        k = jnp.asarray(rng.randn(nb, 1, nKV, dh), jnp.float32)
+        v = jnp.asarray(rng.randn(nb, 1, nKV, dh), jnp.float32)
+        pg = kvc.write_decode(pg, 0, k, v, jnp.minimum(posn, p))
+    q = jnp.asarray(rng.randn(nb, cfg.head_num, dh), jnp.float32)
+    valid = jnp.arange(Sl)[None, :] <= posn[:, None]
+    kvc.set_flash_decode(True)
+    try:
+        out = kvc.attend_decode(pg, 0, q, valid, 0.25, positions=posn)
+        outc = kvc.attend_chunk(
+            pg, 0, q[:, None], valid[:, None, :], 0.25, positions=posn
+        )
+    finally:
+        kvc.set_flash_decode(False)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.isfinite(np.asarray(outc)).all()
+
+
+def test_paged_unknown_dtype_string_rejected():
+    with pytest.raises(ValueError):
+        paged.init_paged_cache(CFG, B, S, n_pages=4, page_size=PS, dtype="int8")

@@ -165,17 +165,14 @@ def main():
         # host sync with the next tick's compute (engine/batcher.py)
         time_ticks(fresh_pool(args.slots, pipeline_ticks=True),
                    f"f) dense flash B={args.slots} pipelined", args.slots)
-    elif args.case == "g":
+    elif args.case in ("g", "h"):
+        # one body, labeled by --kv: "h --kv int4 --wide 32" is the packed
+        # int4-KV capacity demo (half the page bytes again — widths no other
+        # cache mode fits)
         time_ticks(
             fresh_pool(args.wide, pipeline_ticks=True, **paged_kw(args.wide)),
-            f"g) paged flash B={args.wide} pipelined", args.wide,
-        )
-    elif args.case == "h":
-        # packed int4-KV pages (--kv int4): half the page bytes again, so
-        # widths no other cache mode fits — run with --wide 32
-        time_ticks(
-            fresh_pool(args.wide, pipeline_ticks=True, **paged_kw(args.wide)),
-            f"h) paged {args.kv}-KV flash B={args.wide} pipelined", args.wide,
+            f"{args.case}) paged {args.kv}-KV flash B={args.wide} pipelined",
+            args.wide,
         )
     else:
         raise SystemExit(f"unknown --case {args.case!r} (a-h)")
