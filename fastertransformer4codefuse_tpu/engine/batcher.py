@@ -148,6 +148,21 @@ class ContinuousBatcher:
             flash_decode = "off"
         self.engine = engine
         self.cfg = engine.config
+        # Serving under a device mesh (VERDICT r4 item 1): the pool rides the
+        # engine's mesh — params are already sharded by GptNeoXEngine, the
+        # pool's KV slabs shard kv-heads over "tp" (layers over "pp") and the
+        # per-slot bookkeeping replicates (parallel.sharding.
+        # pool_state_shardings). The per-tick jitted programs then compile to
+        # SPMD with the same one-psum-per-layer structure as the one-shot
+        # engine — the reference's NCCL-TP-inside-forward serving shape
+        # (GptNeoXTritonModel.cc:29-38, GptNeoXOp.h:117-118).
+        self.mesh = engine.mesh
+        self._pp = getattr(engine, "_pp", 1)
+        if self._pp > 1:
+            assert self.paged is None, (
+                "paged pools under pipeline parallelism are not supported — "
+                "use a dense pool (pipeline.decode_step has no paged path)"
+            )
         self.max_slots = max_slots
         self.max_seq_len = max_seq_len
         self.prompt_bucket = prompt_bucket
@@ -184,6 +199,13 @@ class ContinuousBatcher:
         self.pipeline_ticks = pipeline_ticks
         self._inflight: List[tuple] = []  # dispatched, not-yet-fetched ticks
         self._state = self._init_state()
+        if self.mesh is not None:
+            from ..parallel.sharding import pool_state_shardings
+
+            shardings = pool_state_shardings(self.cfg, self.mesh, self._state)
+            self._state = jax.tree.map(
+                jax.device_put, self._state, shardings
+            )
 
     # ------------------------------------------------------------ state ----
     def _init_state(self):
@@ -375,9 +397,17 @@ class ContinuousBatcher:
             rows = jnp.arange(B)[:, None]
             cols = jnp.clip(pos[:, None] + jnp.arange(C)[None, :], 0, self.max_seq_len - 1)
             tok_chunk = state["tokens"][rows, cols]  # [B, C]
-            _, cache = model.prefill_chunk(
-                cfg, params, tok_chunk, pos, state["cache"], prefilling
-            )
+            if self._pp > 1:
+                from ..parallel import pipeline
+
+                _, cache = pipeline.prefill_chunk(
+                    cfg, self.mesh, params, tok_chunk, pos, state["cache"],
+                    prefilling,
+                )
+            else:
+                _, cache = model.prefill_chunk(
+                    cfg, params, tok_chunk, pos, state["cache"], prefilling
+                )
             st = dict(state)
             st["cache"] = cache
             st["prefill_pos"] = jnp.where(prefilling, state["prefill_pos"] + C, state["prefill_pos"])
@@ -407,14 +437,24 @@ class ContinuousBatcher:
             # dummy position-0 token with kv_skip so their cache is untouched
             positions = jnp.clip(state["seq_lens"] - 1, 0, S - 1)
             newest = state["tokens"][jnp.arange(B), positions]
-            hidden, cache = model.decode_step(
-                cfg, params, newest, jnp.where(ready, positions, 0),
-                state["cache"], kv_skip=~ready,
-                # layout-neutral skip: preserve-mode's gather wants the slabs
-                # position-major and costs 2 full-slab copies per LAYER in
-                # this per-tick program (kv_cache.write_decode docstring)
-                kv_skip_mode="sacrifice_last",
-            )
+            if self._pp > 1:
+                from ..parallel import pipeline
+
+                hidden, cache = pipeline.decode_step(
+                    cfg, self.mesh, params, newest,
+                    jnp.where(ready, positions, 0), state["cache"],
+                    kv_skip=~ready, kv_skip_mode="sacrifice_last",
+                )
+            else:
+                hidden, cache = model.decode_step(
+                    cfg, params, newest, jnp.where(ready, positions, 0),
+                    state["cache"], kv_skip=~ready,
+                    # layout-neutral skip: preserve-mode's gather wants the
+                    # slabs position-major and costs 2 full-slab copies per
+                    # LAYER in this per-tick program (kv_cache.write_decode
+                    # docstring)
+                    kv_skip_mode="sacrifice_last",
+                )
             logits = model.lm_logits(cfg, params, hidden)
 
             # full processor stack, engine order (_sample_and_advance):

@@ -166,3 +166,41 @@ def cache_sharding(mesh: Mesh) -> NamedSharding:
     if "pp" in mesh.shape:
         return NamedSharding(mesh, P("pp", "dp", "tp", None, None))
     return NamedSharding(mesh, P(None, "dp", "tp", None, None))
+
+
+def pool_state_shardings(config: GptNeoXConfig, mesh: Mesh, state: dict):
+    """NamedSharding pytree for a ContinuousBatcher's pool state.
+
+    The serving-pool analog of the reference's TP-sharded engine state behind
+    Triton (GptNeoXTritonModel.cc:29-38 instantiates one TP engine per node;
+    NCCL TP runs inside every forward, GptNeoXOp.h:117-118): the KV slabs
+    shard their kv-head axis over "tp" (and the layer axis over "pp"), while
+    the per-slot bookkeeping arrays (tokens, lengths, sampling params, block
+    tables) replicate — they are KB-sized and read by every shard.
+
+    Dense slabs: k/v [L, B, nKV, S, dh], scales [L, B, nKV, S].
+    Paged slabs: pk/pv [L, P, nKV, ps, dh], scales [L, P, nKV, ps].
+    A kv-head count not divisible by the tp axis falls back to replicated
+    slabs (GQA families with few KV heads) — correct, just not memory-scaled.
+    """
+    tp = int(dict(mesh.shape).get("tp", 1))
+    has_pp = "pp" in mesh.shape
+    heads_ok = config.kv_heads % tp == 0
+    pp_ax = "pp" if has_pp else None
+    tp_ax = "tp" if heads_ok else None
+
+    def slab_spec(ndim):
+        # [L, B/P, nKV, S/ps(, dh)] — layer axis 0, kv-head axis 2
+        axes = [pp_ax, None, tp_ax, None, None][:ndim]
+        return NamedSharding(mesh, P(*axes))
+
+    repl = NamedSharding(mesh, P())
+
+    def leaf(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("k", "v", "k4", "v4", "k_s", "v_s",
+                    "pk", "pv", "pk4", "pv4", "pk_s", "pv_s"):
+            return slab_spec(x.ndim)
+        return repl
+
+    return jax.tree_util.tree_map_with_path(leaf, state)
