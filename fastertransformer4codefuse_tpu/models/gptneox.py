@@ -612,6 +612,12 @@ def lm_logits(config: GptNeoXConfig, params: Params, hidden: jax.Array) -> jax.A
         )
     if "lm_head_b" in params:  # GPT-J's LM head carries a bias
         logits = logits + params["lm_head_b"].astype(jnp.float32)[None, :]
+    # TP vocab padding: shard_params pads the vocab-split head up to a
+    # multiple of the tp axis (the reference pads vocab to x8xTP,
+    # GptNeoX.cc:260-264, and -inf-masks the pad ids in sampling,
+    # invokeAddBiasEndMask); slicing the pad columns off entirely is the
+    # stronger guarantee — no processor can ever sample a pad id.
+    logits = logits[:, : config.vocab_size]
     return logits.reshape(h.shape[:-1] + (config.vocab_size,))
 
 

@@ -11,6 +11,7 @@ partial sums over "tp".
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -136,7 +137,49 @@ def param_shardings(config: GptNeoXConfig, params: Params, mesh: Mesh):
     return out
 
 
+def pad_vocab_for_tp(config: GptNeoXConfig, params: Params, mesh: Mesh) -> Params:
+    """Pad the vocab-split LM head up to a multiple of the tp axis.
+
+    The reference pads its vocab to x8xTP so the TP-split head GEMM tiles
+    evenly (GptNeoX.cc:260-264 vocab_size_padded_); here a non-divisible
+    vocab (e.g. CodeFuse's 100831 under tp=8) would fail NamedSharding's
+    divisibility check outright. Zero rows are appended to ``lm_head`` (and
+    ``lm_head_b``); models.gptneox.lm_logits slices logits back to
+    ``vocab_size`` before any processor runs, so pad ids are unsampleable.
+    The int4 transposed head already pads V to a 2560-multiple (divisible by
+    every supported tp) and is left alone; ``embed`` is replicated and needs
+    no padding."""
+    tp = int(dict(mesh.shape).get("tp", 1))
+    w = params.get("lm_head")
+    if tp <= 1 or w is None:
+        return params
+    if isinstance(w, QuantizedTensor):
+        if w.k_axis % w.q.ndim == 0:  # transposed int4 head: already padded
+            return params
+        V = w.q.shape[0]
+        pad = (-V) % tp
+        if pad == 0:
+            return params
+        out = dict(params)
+        out["lm_head"] = QuantizedTensor(
+            q=jnp.pad(w.q, ((0, pad), (0, 0))),
+            scale=jnp.pad(w.scale, ((0, pad),)),
+            k_axis=w.k_axis, bits=w.bits, group_size=w.group_size,
+        )
+    else:
+        V = w.shape[0]
+        pad = (-V) % tp
+        if pad == 0:
+            return params
+        out = dict(params)
+        out["lm_head"] = jnp.pad(w, ((0, pad), (0, 0)))
+    if "lm_head_b" in out:
+        out["lm_head_b"] = jnp.pad(params["lm_head_b"], ((0, pad),))
+    return out
+
+
 def shard_params(config: GptNeoXConfig, params: Params, mesh: Mesh) -> Params:
+    params = pad_vocab_for_tp(config, params, mesh)
     shardings = param_shardings(config, params, mesh)
 
     def place(x, s):

@@ -260,3 +260,51 @@ def test_pp_collective_permute_at_stage_edges():
     import re as _re
     for m in _re.findall(r"all-gather[^\n]*", hlo):
         assert "f32[4,64,192]" not in m, f"layer weights all-gathered: {m}"
+
+
+def test_tp_nondivisible_vocab_pads_and_matches():
+    """CodeFuse's vocab (100831) does not divide tp=8: shard_params must pad
+    the vocab-split head to a tp multiple (the reference's vocab_size_padded_
+    x8xTP scheme, GptNeoX.cc:260-264) and lm_logits must slice the pad ids
+    off before any processor — outputs equal the unsharded engine exactly."""
+    cfg = GptNeoXConfig.tiny(
+        head_num=8, size_per_head=8, vocab_size=61, inter_size=256
+    )
+    params = init_params(cfg, dtype="fp32")
+    ref = run_engine(cfg, params)
+    mesh = build_mesh(tp=8)
+    eng = GptNeoXEngine(
+        cfg, params,
+        RuntimeConfig(dtype="fp32", seq_bucket=4, tensor_para_size=8),
+        mesh=mesh,
+    )
+    assert eng.params["lm_head"].shape[0] == 64  # padded 61 -> 64
+    out = eng.generate(
+        PROMPTS, output_len=6, top_k=[1, 3], top_p=[0.0, 0.9],
+        temperature=[1.0, 0.8], repetition_penalty=1.05, random_seed=[5, 6],
+        return_cum_log_probs=True,
+    )
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
+
+
+def test_tp_nondivisible_vocab_int8_rowwise_head():
+    """Same padding path for the int8 per-row-quantized head
+    (quantize_embeddings): q rows and per-row scales pad together."""
+    cfg = GptNeoXConfig.tiny(
+        head_num=8, size_per_head=8, vocab_size=61, inter_size=256
+    )
+    params = init_params(cfg, dtype="fp32", int8_mode=1, quantize_embeddings=True)
+    eng0 = GptNeoXEngine(
+        cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=4, int8_mode=1)
+    )
+    ref = eng0.generate(PROMPTS, output_len=5, top_k=1)
+    mesh = build_mesh(tp=8)
+    eng = GptNeoXEngine(
+        cfg, params,
+        RuntimeConfig(dtype="fp32", seq_bucket=4, int8_mode=1, tensor_para_size=8),
+        mesh=mesh,
+    )
+    assert eng.params["lm_head"].q.shape[0] == 64
+    assert eng.params["lm_head"].scale.shape[0] == 64
+    out = eng.generate(PROMPTS, output_len=5, top_k=1)
+    np.testing.assert_array_equal(ref.output_ids, out.output_ids)
