@@ -182,12 +182,26 @@ class CodeFuseHandler:
     # ------------------------------------------------------------- pooled ----
     def _pool_routable(self, data_package: dict, prompts: List[List[int]]) -> bool:
         """Whether every prompt of this request can ride the slot pool."""
-        if data_package["beam_width"] != 1:
-            return False
-        pool = self.server.batcher
-        cap = pool.sampling_cap
-        S = pool.max_seq_len
+        bw = data_package["beam_width"]
         out_len = data_package["output_len"]
+        need = max((len(p) for p in prompts), default=0) + out_len
+        routable = getattr(self.server, "routable_pool", None)
+        pool = routable(need, bw) if routable is not None else (
+            self.server.batcher if bw == 1 else None
+        )
+        if pool is None:
+            return False
+        if bw != 1 and data_package.get("_stream"):
+            # streamed beams ride the static path: its per-step callback
+            # carries EVERY beam's newest token (pybind_callback semantics);
+            # the pool streams only the best-so-far row
+            return False
+        if bw != 1 and data_package.get("output_log_probs"):
+            # per-step beam log-probs ride the static path's reorder-tracked
+            # buffer (sampling/beam.py step_log_probs); the beam pool tracks
+            # scores only
+            return False
+        S = pool.max_seq_len
 
         def wl_len(lists, i):
             if lists is None or not lists[i]:
@@ -197,9 +211,11 @@ class CodeFuseHandler:
         for b, ids in enumerate(prompts):
             if len(ids) + out_len > S or len(ids) == 0:
                 return False
-            tk = (data_package["top_k"] or [50])[b]
-            if not (1 <= tk <= cap):  # top_k=0 (pure top-p) needs the full sort
-                return False
+            if bw == 1:
+                tk = (data_package["top_k"] or [50])[b]
+                if not (1 <= tk <= pool.sampling_cap):
+                    # top_k=0 (pure top-p) needs the full sort
+                    return False
             # word-list / trie-expansion widths beyond the pool's static
             # buffers fall back to the static path (make_request would
             # reject them client-side; never let an assert reach the
@@ -235,6 +251,7 @@ class CodeFuseHandler:
                 return None
             return [list(tok.encode(w)) for w in lists[b]]
 
+        bw = dp["beam_width"]
         start = time.time()
         uids = []
         for b in range(B):
@@ -243,37 +260,59 @@ class CodeFuseHandler:
             if lt is not None and lt[b]:
                 assert self.trie is not None, "trie is None, can't select last token"
                 olt = optional_last_token_ids(self.trie, lt[b], end_id)
-            uids.append(
-                self.server.submit(
-                    prompts[b],
-                    dp["output_len"],
+            kw = dict(
+                temperature=float(pick("temperature", 1.0, b)),
+                repetition_penalty=float(pick("repetition_penalty", 1.0, b)),
+                min_length=int(pick("min_length", 0, b)),
+                priority=dp.get("priority", 0),
+                stop_words=word_ids(dp.get("stop_words_list"), b),
+                bad_words=word_ids(dp.get("bad_words_list"), b),
+                optional_last_tokens=olt,
+            )
+            if bw == 1:
+                kw.update(
                     top_k=int(pick("top_k", 50, b)),
                     top_p=float(pick("top_p", 0.0, b)),
-                    temperature=float(pick("temperature", 1.0, b)),
-                    repetition_penalty=float(pick("repetition_penalty", 1.0, b)),
                     presence_penalty=float(pick("presence_penalty", 0.0, b)),
-                    min_length=int(pick("min_length", 0, b)),
                     random_seed=int(pick("random_seed", 0, b)),
-                    priority=dp.get("priority", 0),
-                    stop_words=word_ids(dp.get("stop_words_list"), b),
-                    bad_words=word_ids(dp.get("bad_words_list"), b),
-                    optional_last_tokens=olt,
                     on_text=(
                         (lambda s, b=b: sink(b, 0, s)) if use_callback else None
                     ),
                     tokenizer=tok if use_callback else None,
                 )
-            )
+            else:
+                # beam requests route to a beam pool class of the same width
+                # (engine/beam_pool.py); beam search ignores top_k/top_p/
+                # presence/seed — DynamicDecodeLayer.cc:309-409 routing
+                kw.update(
+                    beam_width=bw,
+                    beam_search_diversity_rate=float(
+                        pick("beam_search_diversity_rate", 0.0, b)
+                    ),
+                    len_penalty=float(pick("len_penalty", 0.0, b)),
+                )
+            uids.append(self.server.submit(prompts[b], dp["output_len"], **kw))
         results = [self.server.wait(u) for u in uids]
         latency = time.time() - start
 
-        generated_code, lengths, cum_lps, step_lps = [], [], [], []
-        for b, r in enumerate(results):
+        def decode_gen(ids, in_len):
             gen = []
-            for t in r.output_ids[len(prompts[b]):]:
+            for t in ids[in_len:]:
                 if t == end_id:
                     break
                 gen.append(int(t))
+            return gen
+
+        generated_code, lengths, cum_lps, step_lps = [], [], [], []
+        for b, r in enumerate(results):
+            if bw != 1:
+                gens = [decode_gen(ids, len(prompts[b])) for ids in r.beam_output_ids]
+                generated_code.append([trim_garbage(tok.decode(g)) for g in gens])
+                lengths.append([len(g) for g in gens])
+                cum_lps.append(list(r.beam_cum_log_probs))
+                step_lps.append([[0.0] * dp["output_len"]] * bw)
+                continue
+            gen = decode_gen(r.output_ids, len(prompts[b]))
             generated_code.append([trim_garbage(tok.decode(gen))])
             lengths.append([len(gen)])
             cum_lps.append([r.cum_log_prob])
@@ -364,6 +403,7 @@ class CodeFuseHandler:
 
             if self.server is not None:
                 prompts = prompts_maybe
+                data_package["_stream"] = use_callback
                 if self._pool_routable(data_package, prompts):
                     response = self._predict_pooled(
                         data_package, use_callback, prompts
@@ -399,6 +439,7 @@ class CodeFuseHandler:
                         logger.error("callback error: %s", err)
 
             data_package.pop("priority", None)  # pooled-path-only knob
+            data_package.pop("_stream", None)
             want_step_lp = data_package["output_log_probs"]
             with self._static_lock:  # static path is not reentrant (see init)
                 res = generate(

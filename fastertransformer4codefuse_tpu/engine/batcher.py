@@ -87,6 +87,12 @@ class Request:
     # with return_log_probs=True; the reference's return_cum_log_probs knob)
     cum_log_prob: float = 0.0
     step_log_probs: Optional[List[float]] = None
+    # beam pools (engine/beam_pool.BeamPool) only: per-request beam knobs and
+    # the full best-first beam set on completion (output_ids == beam 0)
+    beam_search_diversity_rate: float = 0.0
+    len_penalty: float = 0.0
+    beam_output_ids: Optional[List[List[int]]] = None
+    beam_cum_log_probs: Optional[List[float]] = None
     _decoder: Optional[object] = None
     _chunks_left: int = 0
     _pages: Optional[List[int]] = None  # paged pools: reserved page ids
@@ -139,7 +145,7 @@ class ContinuousBatcher:
             self.allocator = PageAllocator(int(self.paged["num_pages"]))
         from .kv_cache import _SCATTER_MIN_B
 
-        if flash_decode == "on" and self.paged is None and max_slots > _SCATTER_MIN_B:
+        if flash_decode == "on" and self.paged is None and max_slots * getattr(self, "_row_mult", 1) > _SCATTER_MIN_B:
             # wide pools write the cache via the batched scatter (the
             # unrolled-DUS path's program size scales with B), and the
             # scatter's position-major layout preference re-raises the
@@ -164,6 +170,9 @@ class ContinuousBatcher:
                 "use a dense pool (pipeline.decode_step has no paged path)"
             )
         self.max_slots = max_slots
+        # device-state row count: == max_slots for sampling pools; beam pools
+        # (engine/beam_pool.BeamPool) hold beam_width rows per slot
+        self.rows = max_slots * getattr(self, "_row_mult", 1)
         self.max_seq_len = max_seq_len
         self.prompt_bucket = prompt_bucket
         self.stop_words_width = stop_words_width
@@ -209,7 +218,7 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------ state ----
     def _init_state(self):
-        cfg, S, B = self.cfg, self.max_seq_len, self.max_slots
+        cfg, S, B = self.cfg, self.max_seq_len, self.rows
         if self.paged is not None:
             from .paged_kv import init_paged_cache
 
@@ -388,7 +397,7 @@ class ContinuousBatcher:
     def _get_chunk_fn(self):
         if self._chunk_fn is not None:
             return self._chunk_fn
-        cfg, C, B = self.cfg, self.prompt_bucket, self.max_slots
+        cfg, C, B = self.cfg, self.prompt_bucket, self.rows
 
         def chunk(params, state):
             target = jnp.maximum(state["input_lens"] - 1, 0)
@@ -428,7 +437,7 @@ class ContinuousBatcher:
         with custom layout/format options (tools/pool_layout_probe.py)."""
         cfg = self.cfg
         end_id = cfg.end_id
-        B, S = self.max_slots, self.max_seq_len
+        B, S = self.rows, self.max_seq_len
 
         def step(params, state):
             target = jnp.maximum(state["input_lens"] - 1, 0)

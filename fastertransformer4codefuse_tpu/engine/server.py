@@ -26,7 +26,20 @@ class BatchingServer:
     """Thread-safe request mailbox + driver thread around ContinuousBatcher."""
 
     def __init__(self, engine: GptNeoXEngine, **pool_kwargs):
-        self.batcher = ContinuousBatcher(engine, **pool_kwargs)
+        # beam_width >= 2 makes this a beam-serving pool: every slot decodes
+        # beam_width hypotheses through the shared cache-indirection scheme
+        # (engine/beam_pool.py; the reference serves beams inside the same
+        # forward via DynamicDecodeLayer.cc:309-409)
+        bw = int(pool_kwargs.pop("beam_width", 1) or 1)
+        if bw > 1:
+            from .beam_pool import BeamPool
+
+            pool_kwargs.pop("sampling_cap", None)  # beams ignore top-k/top-p
+            pool_kwargs.pop("paged", None)
+            pool_kwargs.pop("return_log_probs", None)  # scores are intrinsic
+            self.batcher = BeamPool(engine, beam_width=bw, **pool_kwargs)
+        else:
+            self.batcher = ContinuousBatcher(engine, **pool_kwargs)
         self._lock = threading.Lock()
         self._mailbox: List[Request] = []
         self._events: Dict[int, threading.Event] = {}
@@ -96,6 +109,15 @@ class BatchingServer:
         """submit + wait convenience for synchronous callers."""
         return self.wait(self.submit(prompt, output_len, **kw))
 
+    def routable_pool(self, need: int, beam_width: int = 1):
+        """The batcher a (length, beam_width) request would land in, or None.
+        Used by the handler's pool-routability check to validate word-list
+        widths against the RIGHT pool class."""
+        b = self.batcher
+        if getattr(b, "beam_width", 1) != beam_width:
+            return None
+        return b if need <= b.max_seq_len else None
+
     def close(self):
         self._shutdown = True
         self._wake.set()
@@ -158,16 +180,28 @@ class MultiPoolServer:
 
     def submit(self, prompt, output_len: int, **kw) -> int:
         need = len(prompt) + output_len
+        # beam requests route only to beam classes of the SAME width (the
+        # width is a pool-level static); sampling requests only to bw=1 pools
+        bw = int(kw.pop("beam_width", 1) or 1)
         for srv in self.servers:
+            if getattr(srv.batcher, "beam_width", 1) != bw:
+                continue
             if need <= srv.batcher.max_seq_len:
                 uid = srv.submit(prompt, output_len, **kw)
                 # uids are process-globally unique (batcher._UIDS)
                 self._route[uid] = srv
                 return uid
         raise ValueError(
-            f"prompt({len(prompt)}) + output({output_len}) exceeds every "
-            f"pool class (largest {self.servers[-1].batcher.max_seq_len})"
+            f"prompt({len(prompt)}) + output({output_len}) @ beam_width={bw} "
+            f"fits no pool class (largest {self.servers[-1].batcher.max_seq_len})"
         )
+
+    def routable_pool(self, need: int, beam_width: int = 1):
+        for srv in self.servers:
+            b = srv.routable_pool(need, beam_width)
+            if b is not None:
+                return b
+        return None
 
     def wait(self, uid: int, timeout=None):
         # pop only AFTER a successful wait — a TimeoutError must leave the
