@@ -93,9 +93,16 @@ class Request:
     len_penalty: float = 0.0
     beam_output_ids: Optional[List[List[int]]] = None
     beam_cum_log_probs: Optional[List[float]] = None
+    # times this request was preempted (lazy paged pools; recompute on resume)
+    preemptions: int = 0
     _decoder: Optional[object] = None
     _chunks_left: int = 0
     _pages: Optional[List[int]] = None  # paged pools: reserved page ids
+    # lazy paged pools: prompt + generated-so-far snapshot to re-prefill after
+    # a preemption (preempt-and-recompute), and per-admission progress mirror
+    _resume_ids: Optional[List[int]] = None
+    _admit_len: int = 0
+    _emitted_admit: int = 0
 
 
 # process-wide uid stream: requests stay uniquely addressable even when
@@ -143,6 +150,17 @@ class ContinuousBatcher:
             from .paged_kv import PageAllocator
 
             self.allocator = PageAllocator(int(self.paged["num_pages"]))
+            # lazy=True: admission reserves only the PROMPT's pages; decode
+            # pages allocate just-in-time as slots grow, and on exhaustion
+            # the worst-(priority, uid) slot is PREEMPTED — its tokens
+            # snapshot to host, its pages free, and it re-queues to
+            # re-prefill prompt+generated later (preempt-and-recompute).
+            # Admits far more aggressively than reservation mode at the cost
+            # of recompute under pressure (VERDICT r4 item 7).
+            self.lazy = bool(self.paged.get("lazy", False))
+            self.preemptions = 0  # pool-wide counter (tests/telemetry)
+        else:
+            self.lazy = False
         from .kv_cache import _SCATTER_MIN_B
 
         if flash_decode == "on" and self.paged is None and max_slots * getattr(self, "_row_mult", 1) > _SCATTER_MIN_B:
@@ -262,6 +280,18 @@ class ContinuousBatcher:
             f"pool supports top_k in [1, {self.sampling_cap}]"
         )
         assert len(r.prompt) + r.output_len <= self.max_seq_len
+        if self.paged is not None and self.lazy:
+            # a single request must fit the whole pool even alone, or lazy
+            # growth would preempt it against itself forever
+            total = self.allocator.pages_needed(
+                min(len(r.prompt) + r.output_len, self.max_seq_len),
+                self.page_size,
+            )
+            if total > self.allocator.n_pages - 1:
+                raise ValueError(
+                    f"request needs {total} pages; pool has "
+                    f"{self.allocator.n_pages - 1} allocatable"
+                )
         # width limits validate HERE (client thread, fails only this request)
         # — an assert inside _admit would fire on the server's driver thread
         # and kill the whole pool
@@ -308,7 +338,7 @@ class ContinuousBatcher:
 
         def admit(state, slot, ids, in_len, stop_at, top_k, top_p, temperature,
                   rep_penalty, pres_penalty, min_length, stop_w, bad_w, olt, seed,
-                  pt_row=None):
+                  steps0=0, pt_row=None):
             row = jnp.full((S,), end_id, jnp.int32)
             row = jax.lax.dynamic_update_slice(row, ids, (0,))
             row = jnp.where(jnp.arange(S) < in_len, row, end_id)
@@ -329,7 +359,10 @@ class ContinuousBatcher:
             st["bad_words"] = state["bad_words"].at[slot].set(bad_w)
             st["olt"] = state["olt"].at[slot].set(olt)
             st["base_keys"] = state["base_keys"].at[slot].set(jax.random.PRNGKey(seed))
-            st["steps"] = state["steps"].at[slot].set(0)
+            # steps0 > 0 on a post-preemption resume: keeps the per-step rng
+            # fold_in sequence and the first-step-only optional-last-tokens
+            # mask exactly where an uninterrupted run would have them
+            st["steps"] = state["steps"].at[slot].set(steps0)
             if paged:  # install the slot's reserved pages in the block table
                 cache = dict(state["cache"])
                 cache["pt"] = cache["pt"].at[slot].set(pt_row)
@@ -339,11 +372,22 @@ class ContinuousBatcher:
         self._admit_fn = jax.jit(admit, donate_argnums=(0,))
         return self._admit_fn
 
+    def _lazy_bound(self, r: Request, margin: int = 2) -> int:
+        """Highest sequence position (exclusive) this request can touch within
+        ``margin`` future ticks, capped at its stop length."""
+        stop_at = min(len(r.prompt) + r.output_len, self.max_seq_len)
+        return min(r._admit_len + r._emitted_admit + margin, stop_at)
+
     def _admit(self, r: Request, slot: int) -> None:
         assert len(r.prompt) + r.output_len <= self.max_seq_len
         W = self.max_seq_len
+        # post-preemption resume: re-prefill prompt + generated-so-far
+        # (preempt-and-recompute); stop_at stays anchored to the ORIGINAL
+        # prompt so the total output length is unchanged
+        src = r._resume_ids if r._resume_ids is not None else r.prompt
+        gen_offset = len(src) - len(r.prompt)
         ids = np.full((W,), self.cfg.end_id, np.int32)
-        ids[: len(r.prompt)] = r.prompt
+        ids[: len(src)] = src
         stop_at = min(len(r.prompt) + r.output_len, self.max_seq_len)
         olt = np.full((self.optional_last_width,), -1, np.int32)
         if r.optional_last_tokens:
@@ -354,23 +398,35 @@ class ContinuousBatcher:
             self._state,
             slot,
             jnp.asarray(ids),
-            jnp.int32(len(r.prompt)),
+            jnp.int32(len(src)),
             jnp.int32(stop_at),
             jnp.int32(r.top_k),
             jnp.float32(r.top_p),
             jnp.float32(r.temperature),
             jnp.float32(r.repetition_penalty),
             jnp.float32(r.presence_penalty),
-            jnp.int32(r.min_length),
+            # min_length counts from the original first generated token; the
+            # resumed row's gen_lens restart at 0, so shift the threshold
+            jnp.int32(max(0, r.min_length - gen_offset)),
             jnp.asarray(encode_word_list(r.stop_words, self.stop_words_width)),
             jnp.asarray(encode_word_list(r.bad_words, self.bad_words_width)),
             jnp.asarray(olt),
             jnp.uint32(r.random_seed),
+            jnp.int32(gen_offset),
         ]
+        r._admit_len = len(src)
+        r._emitted_admit = 0
         if self.paged is not None:
-            # admission-time reservation: every page this request can ever
-            # touch is allocated now (no mid-flight out-of-pages, no eviction)
-            need = self.allocator.pages_needed(stop_at, self.page_size)
+            if self.lazy:
+                # lazy: reserve only what the prompt (+2-tick margin) needs;
+                # decode pages allocate just-in-time (_ensure_pages)
+                need = self.allocator.pages_needed(
+                    self._lazy_bound(r), self.page_size
+                )
+            else:
+                # admission-time reservation: every page this request can
+                # ever touch is allocated now (no mid-flight out-of-pages)
+                need = self.allocator.pages_needed(stop_at, self.page_size)
             r._pages = self.allocator.alloc(need)
             pt_row = np.zeros((self.max_seq_len // self.page_size,), np.int32)
             pt_row[: len(r._pages)] = r._pages
@@ -379,7 +435,7 @@ class ContinuousBatcher:
         r.slot = slot
         # host mirror of the device-side prefill progress (deterministic:
         # chunk() advances every mid-prefill slot by one bucket per tick)
-        r._chunks_left = -(-max(len(r.prompt) - 1, 0) // self.prompt_bucket)
+        r._chunks_left = -(-max(len(src) - 1, 0) // self.prompt_bucket)
         self.running[slot] = r
         if r.on_text is not None and r.tokenizer is not None:
             from ..api.detok import TokenStreamDecoder
@@ -530,11 +586,15 @@ class ContinuousBatcher:
         stays correct because a slot in transition (finished request, not
         yet re-admitted) reports ready=False on the in-flight tick."""
         if not self.pipeline_ticks:
+            if self.lazy:
+                self._ensure_pages()
             self._admit_pending()
             out = self._dispatch_tick()
             if out is None:
                 return []
             return self._process_results(jax.device_get(out))
+        if self.lazy:
+            self._ensure_pages()
         self._admit_pending()
         out = self._dispatch_tick()
         if out is not None:
@@ -558,16 +618,117 @@ class ContinuousBatcher:
                       key=lambda i: (self.pending[i].priority, self.pending[i].uid))
             if self.paged is not None:
                 r = self.pending[nxt]
-                need = self.allocator.pages_needed(
-                    min(len(r.prompt) + r.output_len, self.max_seq_len),
-                    self.page_size,
-                )
+                if self.lazy:
+                    # lazy admission: only the prompt's pages (+2-tick
+                    # margin) must be free now — the tail pages come
+                    # just-in-time or force a preemption
+                    need = self.allocator.pages_needed(
+                        min(len(r._resume_ids or r.prompt) + 2,
+                            len(r.prompt) + r.output_len, self.max_seq_len),
+                        self.page_size,
+                    )
+                else:
+                    need = self.allocator.pages_needed(
+                        min(len(r.prompt) + r.output_len, self.max_seq_len),
+                        self.page_size,
+                    )
                 if not self.allocator.can(need):
                     # head-of-line blocking (no skip-ahead): running requests
-                    # hold full reservations and WILL release pages, so this
-                    # cannot deadlock, and strict priority order is preserved
+                    # hold (or will release) pages, so this cannot deadlock,
+                    # and strict priority order is preserved
                     break
             self._admit(self.pending.pop(nxt), slot)
+
+    # -------------------------------------------- lazy paging / preemption --
+    def _get_pt_fns(self):
+        if getattr(self, "_pt_fns", None) is not None:
+            return self._pt_fns
+
+        def set_pt(state, slot, pt_row):
+            st = dict(state)
+            cache = dict(state["cache"])
+            cache["pt"] = cache["pt"].at[slot].set(pt_row)
+            st["cache"] = cache
+            return st
+
+        def evict(state, slot):
+            st = dict(state)
+            st["active"] = state["active"].at[slot].set(False)
+            cache = dict(state["cache"])
+            # point the evicted slot at the garbage page so its (released,
+            # soon reallocated) pages are never referenced again
+            cache["pt"] = cache["pt"].at[slot].set(0)
+            st["cache"] = cache
+            return st
+
+        self._pt_fns = (
+            jax.jit(set_pt, donate_argnums=(0,)),
+            jax.jit(evict, donate_argnums=(0,)),
+        )
+        return self._pt_fns
+
+    def _write_pt(self, slot: int, r: Request) -> None:
+        pt_row = np.zeros((self.max_seq_len // self.page_size,), np.int32)
+        pt_row[: len(r._pages)] = r._pages
+        self._state = self._get_pt_fns()[0](self._state, slot, jnp.asarray(pt_row))
+
+    def _preempt(self, r: Request) -> None:
+        """Evict a running request: snapshot prompt+generated to host, free
+        its pages, re-queue it for preempt-and-recompute re-admission."""
+        # flush in-flight pipelined ticks first so emissions attribute to the
+        # slot's CURRENT occupant and the host token mirror is current
+        while self._inflight:
+            self._process_results(jax.device_get(self._inflight.pop(0)))
+        if r.done or r.slot < 0:
+            return  # finished (or already evicted) during the flush
+        slot = r.slot
+        row, n = jax.device_get(
+            (self._state["tokens"][slot], self._state["seq_lens"][slot])
+        )
+        r._resume_ids = [int(x) for x in row[: int(n)]]
+        if r._pages:
+            self.allocator.release(r._pages)
+        r._pages = None
+        self._state = self._get_pt_fns()[1](self._state, slot)
+        del self.running[slot]
+        r.slot = -1
+        r.preemptions += 1
+        self.preemptions += 1
+        self.pending.append(r)
+
+    def _ensure_pages(self) -> None:
+        """Lazy mode: grow each running slot's block table just-in-time; on
+        exhaustion preempt strictly-worse-(priority, uid) slots, and if the
+        HARD bound (the positions already-dispatched ticks will touch) still
+        cannot be covered, preempt the needing slot itself — a lazy slot must
+        never write through an unmapped table entry (it would silently land
+        in the garbage page and corrupt later reads)."""
+        margin = len(self._inflight) + 2
+        for slot, r in sorted(
+            self.running.items(), key=lambda kv: (kv[1].priority, kv[1].uid)
+        ):
+            if r.slot != slot:
+                continue  # evicted by an earlier iteration's preemption
+            bound = self._lazy_bound(r, margin)
+            grow = self.allocator.pages_needed(bound, self.page_size) - len(r._pages)
+            if grow <= 0:
+                continue
+            while not self.allocator.can(grow):
+                victims = [
+                    v for v in self.running.values()
+                    if (v.priority, v.uid) > (r.priority, r.uid) and v._pages
+                ]
+                if not victims:
+                    break
+                self._preempt(max(victims, key=lambda v: (v.priority, v.uid)))
+            if self.allocator.can(grow):
+                r._pages.extend(self.allocator.alloc(grow))
+                self._write_pt(slot, r)
+                continue
+            # hard bound: positions the in-flight + next tick WILL touch
+            hard = self._lazy_bound(r, len(self._inflight) + 1)
+            if len(r._pages) * self.page_size < hard:
+                self._preempt(r)
 
     def _dispatch_tick(self):
         """Enqueue chunk (if needed) + one decode tick on the device; returns
@@ -614,6 +775,7 @@ class ContinuousBatcher:
             t = int(tok_h[slot])
             done = bool(fin_h[slot])
             emitted.append((r.uid, t, done))
+            r._emitted_admit += 1  # host mirror of seq_len growth (lazy paging)
             if self.return_log_probs:
                 r.cum_log_prob += float(lp_h[slot])
                 if r.step_log_probs is None:
