@@ -25,6 +25,10 @@ class ModelFamily:
     decode_step: Callable = None  # encoder-only families have no decode loop
     lm_logits: Callable = None
     encode: Callable = None  # encoder families (bert): full bidirectional pass
+    # engine seam: class whose .generate() serves this family end-to-end
+    # (decoder families ride GptNeoXEngine through api.generate; T5 has its
+    # own sampling/beam engine — engine/t5_engine.T5Engine)
+    make_engine: Callable = None  # (config, params, **kw) -> engine
 
 
 _REGISTRY: Dict[str, ModelFamily] = {}
@@ -72,6 +76,10 @@ def _register_builtin() -> None:
             prefill=gptneox.prefill,
             decode_step=gptneox.decode_step,
             lm_logits=gptneox.lm_logits,
+            make_engine=lambda cfg, params, **kw: __import__(
+                "fastertransformer4codefuse_tpu.engine.engine",
+                fromlist=["GptNeoXEngine"],
+            ).GptNeoXEngine(cfg, params, **kw),
         )
     )
     register(
@@ -113,6 +121,10 @@ def _register_builtin() -> None:
             prefill=t5.encode,
             decode_step=t5.decode_step,
             encode=t5.encode,
+            make_engine=lambda cfg, params, **kw: __import__(
+                "fastertransformer4codefuse_tpu.engine.t5_engine",
+                fromlist=["T5Engine"],
+            ).T5Engine(cfg, params, **kw),
         )
     )
     register(

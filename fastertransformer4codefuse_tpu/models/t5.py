@@ -181,10 +181,39 @@ def _pos_bias(config: T5Config, table, q_pos, k_pos, bidirectional):
     return jnp.take(table, b, axis=0).transpose(2, 0, 1)  # [nH, Q, K]
 
 
+def _dot2(x, w, eq):
+    """einsum ``eq`` with an optional per-output-channel int8 weight
+    (convert-into-dot + post-scale — the same fpA-intB formulation as
+    ops/linear, CutlassFpAIntBGemmRunner's math without the layout games)."""
+    from .params import QuantizedTensor
+
+    if isinstance(w, QuantizedTensor):
+        y = jnp.einsum(eq, x, w.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        scale = w.scale.astype(jnp.float32)
+        return (y * scale[(None,) * (y.ndim - scale.ndim)]).astype(x.dtype)
+    return jnp.einsum(eq, x, w.astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _layer_slice(layers, l):
+    """Per-layer view of a stacked-params dict; QuantizedTensor-aware."""
+    from .params import QuantizedTensor
+
+    def sl(v):
+        if isinstance(v, QuantizedTensor):
+            return QuantizedTensor(
+                q=v.q[l], scale=v.scale[l], k_axis=v.k_axis, bits=v.bits,
+                group_size=v.group_size,
+            )
+        return v[l]
+
+    return {k: sl(v) for k, v in layers.items()}
+
+
 def _mh(x, w, nH, dh):
     """x [B, S, D] @ w [D, nH*dh] -> [B, S, nH, dh]."""
-    y = jnp.einsum("bsd,dn->bsn", x, w.astype(x.dtype),
-                   preferred_element_type=jnp.float32).astype(x.dtype)
+    y = _dot2(x, w, "bsd,dn->bsn")
     return y.reshape(x.shape[0], x.shape[1], nH, dh)
 
 
@@ -199,8 +228,7 @@ def _attn(q, k, v, bias, o_w):
                      preferred_element_type=jnp.float32).astype(q.dtype)
     B, Q = ctx.shape[0], ctx.shape[1]
     ctx = ctx.reshape(B, Q, -1)
-    return jnp.einsum("bqn,nd->bqd", ctx, o_w.astype(ctx.dtype),
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+    return _dot2(ctx, o_w, "bqn,nd->bqd")
 
 
 def encode(config: T5Config, params, input_ids, lengths):
@@ -215,17 +243,14 @@ def encode(config: T5Config, params, input_ids, lengths):
     layers = params["enc"]
 
     def body(carry, l):
-        lp = {k: v[l] for k, v in layers.items()}
+        lp = _layer_slice(layers, l)
         h = rmsnorm(carry, lp["ln1_w"], config.layernorm_eps)
         a = _attn(_mh(h, lp["q_w"], nH, dh), _mh(h, lp["k_w"], nH, dh),
                   _mh(h, lp["v_w"], nH, dh), bias, lp["o_w"])
         x1 = carry + a
         h2 = rmsnorm(x1, lp["ln2_w"], config.layernorm_eps)
-        f = jnp.einsum("bsd,df->bsf", h2, lp["wi"].astype(h2.dtype),
-                       preferred_element_type=jnp.float32).astype(h2.dtype)
-        f = apply_act(f, config.activation)
-        f = jnp.einsum("bsf,fd->bsd", f, lp["wo"].astype(f.dtype),
-                       preferred_element_type=jnp.float32).astype(f.dtype)
+        f = apply_act(_dot2(h2, lp["wi"], "bsd,df->bsf"), config.activation)
+        f = _dot2(f, lp["wo"], "bsf,fd->bsd")
         return x1 + f, None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(config.layer_num))
@@ -240,11 +265,20 @@ def init_decoder_state(config: T5Config, params, enc_hidden, enc_lengths, S_out)
     dec = params["dec"]
 
     def proj_all(w):  # ONE batched GEMM over all layers, not Ld separate ones
-        y = jnp.einsum(
-            "bsd,ldn->lbsn", enc_hidden, w.astype(enc_hidden.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(enc_hidden.dtype)
-        return y.reshape(Ld, B, S_enc, nH, dh)
+        from .params import QuantizedTensor
+
+        if isinstance(w, QuantizedTensor):  # stacked [Ld, D, n], scale [Ld, n]
+            y = jnp.einsum(
+                "bsd,ldn->lbsn", enc_hidden, w.q.astype(enc_hidden.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            y = y * w.scale.astype(jnp.float32)[:, None, None, :]
+        else:
+            y = jnp.einsum(
+                "bsd,ldn->lbsn", enc_hidden, w.astype(enc_hidden.dtype),
+                preferred_element_type=jnp.float32,
+            )
+        return y.astype(enc_hidden.dtype).reshape(Ld, B, S_enc, nH, dh)
 
     xk = proj_all(dec["xk_w"])
     xv = proj_all(dec["xv_w"])
@@ -279,7 +313,7 @@ def decode_step(config: T5Config, params, state, tokens, pos):
 
     def body(carry, l):
         x, state = carry
-        lp = {k: v[l] for k, v in dec.items()}
+        lp = _layer_slice(dec, l)
         h = rmsnorm(x, lp["ln1_w"], config.layernorm_eps)
         q = _mh(h, lp["q_w"], nH, dh)
         k = _mh(h, lp["k_w"], nH, dh)
@@ -300,11 +334,8 @@ def decode_step(config: T5Config, params, state, tokens, pos):
         )
         x2 = x1 + ca
         h2 = rmsnorm(x2, lp["ln2_w"], config.layernorm_eps)
-        f = jnp.einsum("bsd,df->bsf", h2, lp["wi"].astype(h2.dtype),
-                       preferred_element_type=jnp.float32).astype(h2.dtype)
-        f = apply_act(f, config.activation)
-        f = jnp.einsum("bsf,fd->bsd", f, lp["wo"].astype(f.dtype),
-                       preferred_element_type=jnp.float32).astype(f.dtype)
+        f = apply_act(_dot2(h2, lp["wi"], "bsd,df->bsf"), config.activation)
+        f = _dot2(f, lp["wo"], "bsf,fd->bsd")
         return (x2 + f, state), None
 
     (x, state), _ = jax.lax.scan(
@@ -343,3 +374,94 @@ def greedy_generate(
             break
         tok = jnp.asarray(step)
     return np.stack(outs, axis=1)
+
+
+# ------------------------------------------------------------ int8 weights --
+
+_GEMM_NAMES = ("q_w", "k_w", "v_w", "o_w", "xq_w", "xk_w", "xv_w", "xo_w",
+               "wi", "wo")
+
+
+def quantize_t5_params(params):
+    """Per-output-channel symmetric int8 on every stacked GEMM weight
+    ([L, K, N], k_axis=-2) of both stacks — the weight set the reference's
+    T5 engine quantizes nowhere (its t5 path is fp only; this reuses the
+    int8_mode=1 math of WeightOnlyQuantOps.cc on the T5 family). Norm
+    affines, relative-bias tables, and embeddings stay fp, like the
+    CodeFuse-path quantizer (codefuse_example.py:273-285)."""
+    from ..ckpt.quantize import quantize_array
+
+    out = dict(params)
+    for stack in ("enc", "dec"):
+        out[stack] = {
+            k: (quantize_array(v, k_axis=-2) if k in _GEMM_NAMES else v)
+            for k, v in params[stack].items()
+        }
+    return out
+
+
+# ------------------------------------------------------------ TP sharding --
+
+
+def t5_param_shardings(config: T5Config, params, mesh):
+    """NamedSharding pytree: column-split q/k/v (+cross q/k/v) and ffn-up
+    over "tp", row-split o/cross-o and ffn-down — the reference's T5 TP
+    layout (T5Decoder.cc TensorParallel attention/ffn wrappers), expressed
+    as GSPMD PartitionSpecs like parallel/sharding.py does for the decoder
+    families. Relative-bias tables split their head axis; embeddings and
+    norms replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .params import QuantizedTensor
+
+    COL = P(None, None, "tp")  # [L, K, N] split N
+    ROW = P(None, "tp", None)  # [L, K, N] split K
+    SPECS = {
+        "q_w": COL, "k_w": COL, "v_w": COL, "xq_w": COL, "xk_w": COL,
+        "xv_w": COL, "wi": COL, "o_w": ROW, "xo_w": ROW, "wo": ROW,
+    }
+
+    def leaf(name, v):
+        spec = SPECS.get(name, P())
+        if isinstance(v, QuantizedTensor):
+            # scale = shape minus the K axis (axis 1 of [L, K, N])
+            s_spec = P(*(a for i, a in enumerate(spec) if i != 1))
+            return QuantizedTensor(
+                q=NamedSharding(mesh, spec),
+                scale=NamedSharding(mesh, s_spec),
+                k_axis=v.k_axis, bits=v.bits, group_size=v.group_size,
+            )
+        return NamedSharding(mesh, spec)
+
+    out = {}
+    for k, v in params.items():
+        if k in ("enc", "dec"):
+            out[k] = {n: leaf(n, val) for n, val in v.items()}
+        elif k in ("enc_rel_bias", "dec_rel_bias"):
+            out[k] = NamedSharding(mesh, P(None, "tp"))  # [buckets, nH]
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
+def shard_t5_params(config: T5Config, params, mesh):
+    from .params import QuantizedTensor
+
+    shardings = t5_param_shardings(config, params, mesh)
+
+    def place(x, s):
+        if isinstance(x, QuantizedTensor):
+            return QuantizedTensor(
+                q=jax.device_put(x.q, s.q),
+                scale=jax.device_put(x.scale, s.scale),
+                k_axis=x.k_axis, bits=x.bits, group_size=x.group_size,
+            )
+        return jax.device_put(x, s)
+
+    out = {}
+    for k, v in params.items():
+        if k in ("enc", "dec"):
+            out[k] = {n: place(val, shardings[k][n]) for n, val in v.items()}
+        else:
+            out[k] = place(v, shardings[k])
+    return out
