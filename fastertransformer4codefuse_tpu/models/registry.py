@@ -127,6 +127,21 @@ def _register_builtin() -> None:
             ).T5Engine(cfg, params, **kw),
         )
     )
+    from . import longformer
+
+    register(
+        ModelFamily(
+            name="longformer",  # sliding-window + global attention encoder
+            # (the reference's models/longformer + longformer_kernels.cu)
+            config_from_ini=None,
+            config_from_hf=longformer.config_from_hf_longformer,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                longformer.params_from_hf_longformer_state_dict(cfg, sd)
+            ),
+            prefill=longformer.encode,
+            encode=longformer.encode,
+        )
+    )
     register(
         ModelFamily(
             name="bert",  # encoder family (the reference's models/bert)
