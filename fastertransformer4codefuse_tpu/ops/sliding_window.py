@@ -45,9 +45,9 @@ def _kernel(scalars, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     @pl.when(valid_chunk)
     def _visit():
         length = scalars[b]
-        q = q_ref[0, :, 0, :].astype(jnp.float32)  # [C, dh]
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [C, dh]
-        v = v_ref[0, :, 0, :].astype(jnp.float32)
+        q = q_ref[0, 0, :, :].astype(jnp.float32)  # [C, dh]
+        k = k_ref[0, 0, :, :].astype(jnp.float32)  # [C, dh]
+        v = v_ref[0, 0, :, :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -71,7 +71,7 @@ def _kernel(scalars, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     @pl.when(step == n_band - 1)
     def _fini():
         l = l_ref[:, :1]
-        o_ref[0, :, 0, :] = (
+        o_ref[0, 0, :, :] = (
             acc_ref[...] / jnp.where(l == 0.0, 1.0, l)
         ).astype(o_ref.dtype)
 
@@ -100,21 +100,24 @@ def sliding_window_attention(
     nc = Sp // C
 
     def pad(x):
-        return jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        # [B, S, nH, dh] -> [B, nH, Sp, dh]: blocked (C, dh) trailing dims
+        # satisfy the Mosaic (8, 128)-or-full divisibility rule
+        x = jnp.swapaxes(x, 1, 2)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
 
     qp, kp, vp = pad(q), pad(k), pad(v)
     lengths = jnp.sum((~is_masked).astype(jnp.int32), axis=1)
     n_band = 2 * (-(-w // C)) + 1
 
     spec = pl.BlockSpec(
-        (1, C, 1, dh),
-        lambda b, h, qi, s, sr: (b, qi, h, 0),
+        (1, 1, C, dh),
+        lambda b, h, qi, s, sr: (b, h, qi, 0),
     )
     off = -(-w // C)
     kv_spec = pl.BlockSpec(
-        (1, C, 1, dh),
+        (1, 1, C, dh),
         lambda b, h, qi, s, sr: (
-            b, jnp.clip(qi - off + s, 0, nc - 1), h, 0
+            b, h, jnp.clip(qi - off + s, 0, nc - 1), 0
         ),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -131,7 +134,7 @@ def sliding_window_attention(
     out = pl.pallas_call(
         functools.partial(_kernel, w=w, C=C, n_band=n_band, nc=nc),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Sp, nH, dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, nH, Sp, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
@@ -142,6 +145,6 @@ def sliding_window_attention(
         ),
         interpret=interpret,
     )(lengths, qp, kp, vp)
-    out = out[:, :S]
+    out = jnp.swapaxes(out, 1, 2)[:, :S]
     # padded query rows -> 0 like the dense path
     return jnp.where(is_masked[:, :, None, None], 0.0, out)

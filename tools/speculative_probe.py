@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--out", type=int, default=256)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--layers", type=int, default=0)
+    ap.add_argument("--bits", type=int, default=4, help="8 = bit-matched int8 weights")
+    ap.add_argument("--group", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -55,7 +57,8 @@ def main():
     if args.layers:
         cfg = GptNeoXConfig(**{**cfg.__dict__, "layer_num": args.layers})
     params = init_params(
-        cfg, dtype="bf16", int8_mode=1, weight_bits=4, group_size=128,
+        cfg, dtype="bf16", int8_mode=1, weight_bits=args.bits,
+        group_size=(args.group if args.bits == 4 else 0),
         quantize_embeddings=True,
     )
     jax.block_until_ready(params)

@@ -41,6 +41,15 @@ MODELS = {
         "up": (4096, 11008),
         "down": (11008, 4096),
     },
+    # Mixtral 8x7B: GQA attention (32q/8kv x 128) + per-expert FFN GEMMs —
+    # the shapes a quantized expert kernel (and the serving pool's expert
+    # dispatch at small M) runs; VERDICT r4 item 8 coverage
+    "mixtral8x7b": {
+        "qkv": (4096, 6144),
+        "proj": (4096, 4096),
+        "eup": (4096, 14336),
+        "edown": (14336, 4096),
+    },
 }
 HEAD_SHAPES = {
     "codefuse13b": (5120, 102400),  # vocab padded to 2560-multiple
