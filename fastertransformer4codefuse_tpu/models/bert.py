@@ -197,8 +197,9 @@ def encode(
     layers = params["layers"]
 
     def body(carry, l):
-        lp = {k: v[l] for k, v in layers.items()}
-        return _block(config, lp, carry, mask), None
+        from .params import layer_slice
+
+        return _block(config, layer_slice(layers, l), carry, mask), None
 
     x, _ = jax.lax.scan(body, x, jnp.arange(config.layer_num))
 
@@ -208,3 +209,105 @@ def encode(
             linear(x[:, 0], params["pooler_w"], params["pooler_b"])
         )
     return x, pooled
+
+
+# ----------------------------------------------- int8 weights / TP / engine --
+
+_GEMM_NAMES = ("qkv_w", "proj_w", "up_w", "down_w")
+
+
+def quantize_bert_params(params):
+    """Per-output-channel int8 on the four GEMM weights per layer — the
+    reference ships this as its own engine variant
+    (/root/reference/src/fastertransformer/models/bert_int8/BertINT8.cc +
+    layers/attention_layers_int8); here it is the same quantize_array math
+    the decoder families use. Embeddings/LN/pooler stay fp."""
+    from ..ckpt.quantize import quantize_array
+
+    out = dict(params)
+    out["layers"] = {
+        k: (quantize_array(v, k_axis=-2) if k in _GEMM_NAMES else v)
+        for k, v in params["layers"].items()
+    }
+    return out
+
+
+def bert_param_shardings(config: BertConfig, params, mesh):
+    """TP PartitionSpecs: column-split fused QKV and ffn-up, row-split proj
+    and ffn-down (the reference's TensorParallel Bert layers); embeddings,
+    norms, and the pooler replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .params import QuantizedTensor
+
+    SPECS = {
+        "qkv_w": P(None, None, "tp"), "qkv_b": P(None, "tp"),
+        "proj_w": P(None, "tp", None),
+        "up_w": P(None, None, "tp"), "up_b": P(None, "tp"),
+        "down_w": P(None, "tp", None),
+    }
+
+    def leaf(name, v):
+        spec = SPECS.get(name, P())
+        if isinstance(v, QuantizedTensor):
+            s_spec = P(*(a for i, a in enumerate(spec) if i != 1))
+            return QuantizedTensor(
+                q=NamedSharding(mesh, spec),
+                scale=NamedSharding(mesh, s_spec),
+                k_axis=v.k_axis, bits=v.bits, group_size=v.group_size,
+            )
+        return NamedSharding(mesh, spec)
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {n: leaf(n, val) for n, val in v.items()}
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
+def shard_bert_params(config: BertConfig, params, mesh):
+    from .params import QuantizedTensor
+
+    shardings = bert_param_shardings(config, params, mesh)
+
+    def place(x, s):
+        if isinstance(x, QuantizedTensor):
+            return QuantizedTensor(
+                q=jax.device_put(x.q, s.q), scale=jax.device_put(x.scale, s.scale),
+                k_axis=x.k_axis, bits=x.bits, group_size=x.group_size,
+            )
+        return jax.device_put(x, s)
+
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {n: place(val, shardings[k][n]) for n, val in v.items()}
+        else:
+            out[k] = place(v, shardings[k])
+    return out
+
+
+class BertEngine:
+    """Served-encoder seam (registry make_engine): holds (optionally
+    TP-sharded, optionally int8) params and a jitted encode — the analog of
+    the reference's BertTritonModel instance
+    (triton_backend/bert/BertTritonModel.cc)."""
+
+    def __init__(self, config: BertConfig, params, mesh=None):
+        self.config = config
+        self.params = (
+            shard_bert_params(config, params, mesh) if mesh is not None else params
+        )
+        import functools
+
+        self._encode = jax.jit(
+            functools.partial(encode, config), static_argnames=()
+        )
+
+    def encode(self, input_ids, lengths, token_type_ids=None):
+        return self._encode(
+            self.params, jnp.asarray(input_ids), jnp.asarray(lengths),
+            token_type_ids if token_type_ids is None else jnp.asarray(token_type_ids),
+        )

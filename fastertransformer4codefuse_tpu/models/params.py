@@ -325,3 +325,18 @@ def cast_params(params: Params, dtype) -> Params:
 def param_bytes(params: Params) -> int:
     leaves = jax.tree_util.tree_leaves(params)
     return sum(x.size * x.dtype.itemsize for x in leaves)
+
+
+def layer_slice(stacked: dict, l) -> dict:
+    """Per-layer view of a stacked-params dict, QuantizedTensor-aware
+    (slices q and scale together; shared by the encoder families and T5)."""
+
+    def sl(v):
+        if isinstance(v, QuantizedTensor):
+            return QuantizedTensor(
+                q=v.q[l], scale=v.scale[l], k_axis=v.k_axis, bits=v.bits,
+                group_size=v.group_size,
+            )
+        return v[l]
+
+    return {k: sl(v) for k, v in stacked.items()}

@@ -152,6 +152,9 @@ def _register_builtin() -> None:
             ),
             prefill=bert.encode,  # bidirectional full pass
             encode=bert.encode,
+            make_engine=lambda cfg, params, **kw: bert.BertEngine(
+                cfg, params, **kw
+            ),
         )
     )
     register(

@@ -198,17 +198,9 @@ def _dot2(x, w, eq):
 
 def _layer_slice(layers, l):
     """Per-layer view of a stacked-params dict; QuantizedTensor-aware."""
-    from .params import QuantizedTensor
+    from .params import layer_slice
 
-    def sl(v):
-        if isinstance(v, QuantizedTensor):
-            return QuantizedTensor(
-                q=v.q[l], scale=v.scale[l], k_axis=v.k_axis, bits=v.bits,
-                group_size=v.group_size,
-            )
-        return v[l]
-
-    return {k: sl(v) for k, v in layers.items()}
+    return layer_slice(layers, l)
 
 
 def _mh(x, w, nH, dh):
