@@ -127,8 +127,21 @@ def _register_builtin() -> None:
             ).T5Engine(cfg, params, **kw),
         )
     )
-    from . import longformer
+    from . import deberta, longformer
 
+    register(
+        ModelFamily(
+            name="deberta",  # disentangled-attention encoder (the
+            # reference's models/deberta + disentangled_attention_kernels.cu)
+            config_from_ini=None,
+            config_from_hf=deberta.config_from_hf_deberta,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                deberta.params_from_hf_deberta_state_dict(cfg, sd)
+            ),
+            prefill=deberta.encode,
+            encode=deberta.encode,
+        )
+    )
     register(
         ModelFamily(
             name="longformer",  # sliding-window + global attention encoder
