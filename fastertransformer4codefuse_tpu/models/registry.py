@@ -127,8 +127,21 @@ def _register_builtin() -> None:
             ).T5Engine(cfg, params, **kw),
         )
     )
-    from . import deberta, longformer
+    from . import deberta, longformer, vit
 
+    register(
+        ModelFamily(
+            name="vit",  # vision encoder (the reference's models/vit +
+            # vit_int8 + tensorrt_plugin/vit) — first non-text family
+            config_from_ini=None,
+            config_from_hf=vit.config_from_hf_vit,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                vit.params_from_hf_vit_state_dict(cfg, sd)
+            ),
+            prefill=vit.encode,
+            encode=vit.encode,
+        )
+    )
     register(
         ModelFamily(
             name="deberta",  # disentangled-attention encoder (the
