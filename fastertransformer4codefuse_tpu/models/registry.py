@@ -127,8 +127,22 @@ def _register_builtin() -> None:
             ).T5Engine(cfg, params, **kw),
         )
     )
-    from . import deberta, longformer, vit
+    from . import bart, deberta, longformer, vit
 
+    register(
+        ModelFamily(
+            name="bart",  # encoder-decoder (the reference's models/bart —
+            # learned +2-offset positions, post-LN, scaled attention)
+            config_from_ini=None,
+            config_from_hf=bart.config_from_hf_bart,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                bart.params_from_hf_bart_state_dict(cfg, sd)
+            ),
+            prefill=bart.encode,
+            decode_step=bart.decode_step,
+            encode=bart.encode,
+        )
+    )
     register(
         ModelFamily(
             name="vit",  # vision encoder (the reference's models/vit +
