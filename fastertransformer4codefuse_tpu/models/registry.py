@@ -127,8 +127,21 @@ def _register_builtin() -> None:
             ).T5Engine(cfg, params, **kw),
         )
     )
-    from . import bart, deberta, longformer, vit
+    from . import bart, deberta, longformer, swin, vit
 
+    register(
+        ModelFamily(
+            name="swin",  # shifted-window vision encoder (the reference's
+            # models/swin + swin_int8 + tensorrt_plugin/swin)
+            config_from_ini=None,
+            config_from_hf=swin.config_from_hf_swin,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                swin.params_from_hf_swin_state_dict(cfg, sd)
+            ),
+            prefill=swin.encode,
+            encode=swin.encode,
+        )
+    )
     register(
         ModelFamily(
             name="bart",  # encoder-decoder (the reference's models/bart —
