@@ -127,8 +127,21 @@ def _register_builtin() -> None:
             ).T5Engine(cfg, params, **kw),
         )
     )
-    from . import bart, deberta, longformer, swin, vit
+    from . import bart, deberta, longformer, swin, vit, xlnet
 
+    register(
+        ModelFamily(
+            name="xlnet",  # Transformer-XL relative attention (the
+            # reference's models/xlnet + xlnet kernels)
+            config_from_ini=None,
+            config_from_hf=xlnet.config_from_hf_xlnet,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                xlnet.params_from_hf_xlnet_state_dict(cfg, sd)
+            ),
+            prefill=xlnet.encode,
+            encode=xlnet.encode,
+        )
+    )
     register(
         ModelFamily(
             name="swin",  # shifted-window vision encoder (the reference's
