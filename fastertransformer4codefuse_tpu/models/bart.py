@@ -132,13 +132,14 @@ def params_from_hf_bart_state_dict(
         "embed": jnp.asarray(get("shared.weight"), dtype),
         "enc_pos": jnp.asarray(get("encoder.embed_positions.weight"), dtype),
         "dec_pos": jnp.asarray(get("decoder.embed_positions.weight"), dtype),
-        "enc_eln_w": jnp.asarray(get("encoder.layernorm_embedding.weight"), dtype),
-        "enc_eln_b": jnp.asarray(get("encoder.layernorm_embedding.bias"), dtype),
-        "dec_eln_w": jnp.asarray(get("decoder.layernorm_embedding.weight"), dtype),
-        "dec_eln_b": jnp.asarray(get("decoder.layernorm_embedding.bias"), dtype),
         "enc": side_layers("encoder", config.layer_num, cross=False),
         "dec": side_layers("decoder", config.dec_layer_num, cross=True),
     }
+    if pre + "encoder.layernorm_embedding.weight" in sd:  # Marian has none
+        out["enc_eln_w"] = jnp.asarray(get("encoder.layernorm_embedding.weight"), dtype)
+        out["enc_eln_b"] = jnp.asarray(get("encoder.layernorm_embedding.bias"), dtype)
+        out["dec_eln_w"] = jnp.asarray(get("decoder.layernorm_embedding.weight"), dtype)
+        out["dec_eln_b"] = jnp.asarray(get("decoder.layernorm_embedding.bias"), dtype)
     if "final_logits_bias" in sd:
         out["logits_bias"] = jnp.asarray(_np(sd["final_logits_bias"])[0], dtype)
     return out
@@ -174,8 +175,9 @@ def encode(config: BartConfig, params, input_ids, lengths):
     scale = dh ** -0.5
     x = jnp.take(params["embed"], input_ids, axis=0) * config.embed_scale
     x = x + params["enc_pos"][config.pos_offset: config.pos_offset + S][None]
-    x = layernorm(x, params["enc_eln_w"], params["enc_eln_b"],
-                  config.layernorm_eps)
+    if "enc_eln_w" in params:
+        x = layernorm(x, params["enc_eln_w"], params["enc_eln_b"],
+                      config.layernorm_eps)
     pad = jnp.arange(S)[None, :] < lengths[:, None]
     bias = jnp.where(pad, 0.0, MASK_VALUE)[:, None, None, :]
 
@@ -234,8 +236,9 @@ def decode_step(config: BartConfig, params, state, tokens, pos):
     S_out = state["self_k"].shape[2]
     x = jnp.take(params["embed"], tokens, axis=0)[:, None] * config.embed_scale
     x = x + params["dec_pos"][config.pos_offset + pos][None, None]
-    x = layernorm(x, params["dec_eln_w"], params["dec_eln_b"],
-                  config.layernorm_eps)
+    if "dec_eln_w" in params:
+        x = layernorm(x, params["dec_eln_w"], params["dec_eln_b"],
+                      config.layernorm_eps)
 
     k_pos = jnp.arange(S_out)
     causal = jnp.where(k_pos <= pos, 0.0, MASK_VALUE)[None, None, None, :]
@@ -297,3 +300,16 @@ def greedy_generate(config: BartConfig, params, input_ids, lengths, max_out: int
             break
         tok = jnp.asarray(step.astype(np.int32))
     return np.stack(outs, axis=1)
+
+
+def config_from_hf_marian(hf_config, model_name="marian") -> BartConfig:
+    """Marian — the classic `decoder`/`decoding` engine analog (the
+    reference's original seq2seq FT lineage, models/decoder + models/decoding):
+    SINUSOIDAL positions (loaded verbatim from the checkpoint buffer, offset
+    0), no embedding LayerNorm, otherwise the BART block structure."""
+    cfg = config_from_hf_bart(hf_config, model_name=model_name)
+    return dataclasses.replace(cfg, pos_offset=0)
+
+
+def params_from_hf_marian_state_dict(config, state_dict, dtype=jnp.float32):
+    return params_from_hf_bart_state_dict(config, state_dict, dtype)

@@ -157,6 +157,21 @@ def _register_builtin() -> None:
     )
     register(
         ModelFamily(
+            name="marian",  # the classic decoder/decoding lineage (the
+            # reference's original seq2seq FT: models/decoder +
+            # models/decoding — sinusoidal positions, post-LN enc-dec)
+            config_from_ini=None,
+            config_from_hf=bart.config_from_hf_marian,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                bart.params_from_hf_marian_state_dict(cfg, sd)
+            ),
+            prefill=bart.encode,
+            decode_step=bart.decode_step,
+            encode=bart.encode,
+        )
+    )
+    register(
+        ModelFamily(
             name="bart",  # encoder-decoder (the reference's models/bart —
             # learned +2-offset positions, post-LN, scaled attention)
             config_from_ini=None,

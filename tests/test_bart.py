@@ -104,3 +104,57 @@ def test_bart_registry():
     ids = rng.randint(3, 96, size=(1, 6)).astype(np.int32)
     h = fam.encode(cfg, params, jnp.asarray(ids), jnp.asarray([6]))
     assert h.shape == (1, 6, 32)
+
+
+def make_hf_marian(seed=0):
+    torch.manual_seed(seed)
+    cfg = transformers.MarianConfig(
+        vocab_size=96, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_attention_heads=4, decoder_attention_heads=4,
+        encoder_ffn_dim=64, decoder_ffn_dim=64, max_position_embeddings=64,
+        decoder_start_token_id=1, pad_token_id=1, eos_token_id=0,
+    )
+    return transformers.MarianMTModel(cfg).eval()
+
+
+def test_marian_greedy_generate_parity():
+    """Marian — the classic decoder/decoding engine analog: sinusoidal
+    positions (loaded from the checkpoint), no embedding LN, offset 0."""
+    from fastertransformer4codefuse_tpu.models.bart import (
+        config_from_hf_marian,
+        params_from_hf_marian_state_dict,
+    )
+
+    hf = make_hf_marian(seed=6)
+    cfg = config_from_hf_marian(hf.config)
+    params = params_from_hf_marian_state_dict(cfg, hf.state_dict())
+    assert "enc_eln_w" not in params  # marian: no embedding LayerNorm
+    rng = np.random.RandomState(7)
+    ids = rng.randint(2, 96, size=(2, 7)).astype(np.int64)
+    lens = np.full((2,), 7, np.int32)
+    OUT = 7
+    with torch.no_grad():
+        want = hf.generate(
+            torch.tensor(ids), max_new_tokens=OUT, do_sample=False,
+            num_beams=1,
+        ).numpy()
+    got = greedy_generate(cfg, params, jnp.asarray(ids), jnp.asarray(lens), OUT)
+    for b in range(2):
+        ref = want[b, 1:]
+        for i in range(min(len(ref), got.shape[1])):
+            assert got[b, i] == ref[i], (b, i, got[b], ref)
+            if ref[i] == cfg.end_id:
+                break
+
+
+def test_marian_registry():
+    from fastertransformer4codefuse_tpu.models import registry
+
+    fam = registry.get("marian")
+    hf = make_hf_marian(seed=0)
+    cfg = fam.config_from_hf(hf.config)
+    params = fam.params_from_hf(cfg, hf.state_dict())
+    rng = np.random.RandomState(0)
+    ids = rng.randint(2, 96, size=(1, 6)).astype(np.int32)
+    h = fam.encode(cfg, params, jnp.asarray(ids), jnp.asarray([6]))
+    assert h.shape == (1, 6, 32)
