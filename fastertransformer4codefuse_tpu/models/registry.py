@@ -127,8 +127,22 @@ def _register_builtin() -> None:
             ).T5Engine(cfg, params, **kw),
         )
     )
-    from . import bart, deberta, longformer, swin, vit, xlnet
+    from . import bart, conformer, deberta, longformer, swin, vit, xlnet
 
+    register(
+        ModelFamily(
+            name="conformer",  # wenet-class audio encoder (the reference's
+            # models/wenet + wenet kernels: macaron FFNs + rel attention +
+            # conv module)
+            config_from_ini=None,
+            config_from_hf=conformer.config_from_hf_conformer,
+            params_from_hf=lambda cfg, sd, dtype="fp32": (
+                conformer.params_from_hf_conformer_state_dict(cfg, sd)
+            ),
+            prefill=conformer.encode,
+            encode=conformer.encode,
+        )
+    )
     register(
         ModelFamily(
             name="xlnet",  # Transformer-XL relative attention (the
