@@ -66,3 +66,20 @@ def test_shipped_cache_is_valid_json():
             continue
         assert e["bn"] % 128 == 0 and e["bn"] > 0, (key, e)
         assert e["bk"] % 128 == 0 and e["bk"] > 0, (key, e)
+
+
+def test_shipped_cache_covers_pool_widths_and_mixtral():
+    """VERDICT r4 item 8 coverage pin: the shipped tile_cache.json must hold
+    measured entries for the pool-width bm32 bucket on every codefuse13b
+    GEMM (int8 + w4g) and for the Mixtral attention + expert shapes — so a
+    cache regression fails loudly instead of silently hitting heuristics."""
+    from fastertransformer4codefuse_tpu.ops.tile_tuning import lookup
+
+    # codefuse13b @ pool width 32
+    for K, N in ((5120, 15360), (5120, 5120), (5120, 20480), (20480, 5120)):
+        assert lookup("stacked_int8", 32, K, N) is not None, (K, N)
+        assert lookup("stacked_w4g", 32, K, N, 128) is not None, (K, N)
+    # mixtral8x7b attention + expert GEMMs (bm16 decode + bm32 pool)
+    for K, N in ((4096, 6144), (4096, 4096), (4096, 14336), (14336, 4096)):
+        for bm in (16, 32):
+            assert lookup("stacked_int8", bm, K, N) is not None, (bm, K, N)
