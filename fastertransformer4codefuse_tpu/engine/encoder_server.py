@@ -105,3 +105,108 @@ class EncoderBatchingServer:
                 for p in batch:
                     p.error = e
                     p.event.set()
+
+
+class T5BatchingServer:
+    """Dynamic micro-batching around T5Engine.generate — the reference's
+    Triton T5 deployment shape (triton_backend/t5/T5TritonModel.cc: one
+    batch per forward, Triton's scheduler coalescing concurrent requests).
+    Requests with the SAME (output_len, beam_width) coalesce into one
+    generate call (those are trace statics); per-row sampling params ride
+    the engine's per-sample vectors."""
+
+    def __init__(self, engine, max_batch: int = 8, seq_bucket: int = 8,
+                 max_seq_len: int = 2048):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.seq_bucket = int(seq_bucket)
+        self.max_seq_len = int(max_seq_len)
+        self._lock = threading.Lock()
+        self._mailbox: List[dict] = []
+        self._wake = threading.Event()
+        self._shutdown = False
+        self.batches_run = 0
+        self.requests_served = 0
+        self._thread = threading.Thread(
+            target=self._drive, name="ftcf-t5-driver", daemon=True
+        )
+        self._thread.start()
+
+    def generate(self, ids: Sequence[int], output_len: int, beam_width: int = 1,
+                 top_k: int = 1, top_p: float = 0.0, temperature: float = 1.0,
+                 random_seed: int = 0, length_penalty: float = 1.0,
+                 timeout: Optional[float] = None):
+        """Blocking per-request generate; returns the engine's per-request
+        T5Output slice (output_ids [beams, L], sequence_lengths, scores)."""
+        assert not self._shutdown, "server is shut down"
+        if not (0 < len(ids) <= self.max_seq_len):
+            raise ValueError(f"sequence length {len(ids)} not in (0, {self.max_seq_len}]")
+        req = {
+            "ids": list(ids), "output_len": int(output_len),
+            "beam_width": int(beam_width), "top_k": int(top_k),
+            "top_p": float(top_p), "temperature": float(temperature),
+            "random_seed": int(random_seed),
+            "length_penalty": float(length_penalty),
+            "event": threading.Event(), "result": None, "error": None,
+        }
+        with self._lock:
+            self._mailbox.append(req)
+        self._wake.set()
+        if not req["event"].wait(timeout):
+            raise TimeoutError("generate still queued/running")
+        if req["error"] is not None:
+            raise RuntimeError("t5 batch failed") from req["error"]
+        return req["result"]
+
+    def close(self):
+        self._shutdown = True
+        self._wake.set()
+        self._thread.join(timeout=60)
+
+    def _drive(self):
+        while not self._shutdown:
+            with self._lock:
+                if not self._mailbox:
+                    batch = []
+                else:
+                    # coalesce the head request with same-static peers
+                    head = self._mailbox[0]
+                    key = (head["output_len"], head["beam_width"],
+                           head["length_penalty"])
+                    batch, rest = [], []
+                    for r in self._mailbox:
+                        if (len(batch) < self.max_batch
+                                and (r["output_len"], r["beam_width"],
+                                     r["length_penalty"]) == key):
+                            batch.append(r)
+                        else:
+                            rest.append(r)
+                    self._mailbox[:] = rest
+            if not batch:
+                self._wake.wait()
+                self._wake.clear()
+                continue
+            try:
+                out = self.engine.generate(
+                    [r["ids"] for r in batch],
+                    batch[0]["output_len"],
+                    beam_width=batch[0]["beam_width"],
+                    top_k=[r["top_k"] for r in batch],
+                    top_p=[r["top_p"] for r in batch],
+                    temperature=[r["temperature"] for r in batch],
+                    random_seed=[r["random_seed"] for r in batch],
+                    length_penalty=batch[0]["length_penalty"],
+                )
+                self.batches_run += 1
+                for i, r in enumerate(batch):
+                    r["result"] = type(out)(
+                        output_ids=out.output_ids[i],
+                        sequence_lengths=out.sequence_lengths[i],
+                        scores=out.scores[i],
+                    )
+                    self.requests_served += 1
+                    r["event"].set()
+            except BaseException as e:  # noqa: BLE001
+                for r in batch:
+                    r["error"] = e
+                    r["event"].set()

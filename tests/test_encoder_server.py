@@ -77,3 +77,46 @@ def test_encoder_server_rejects_oversize_and_survives():
         assert h.shape[0] == 3
     finally:
         srv.close()
+
+
+def test_t5_batching_server_matches_solo():
+    """Concurrent T5 generate requests with the same statics coalesce into
+    one engine call; greedy AND per-request-seeded sampled outputs equal
+    batched solo runs; mixed output_lens split into separate batches."""
+    from fastertransformer4codefuse_tpu.engine.encoder_server import (
+        T5BatchingServer,
+    )
+    from fastertransformer4codefuse_tpu.engine.t5_engine import T5Engine
+    from test_t5_engine import mk, ids_for
+
+    _hf, cfg, params = mk(seed=2)
+    eng = T5Engine(cfg, params)
+    srv = T5BatchingServer(eng, max_batch=8, seq_bucket=8, max_seq_len=32)
+    try:
+        ids = ids_for(cfg, 6, 7)
+        # solo references through the same engine (greedy rows + one sampled)
+        solo = []
+        for i in range(6):
+            kw = dict(top_k=1) if i != 3 else dict(top_k=5, random_seed=77)
+            o = eng.generate([list(ids[i])], 6, **kw)
+            solo.append(o.output_ids[0])
+        results = [None] * 6
+
+        def call(i):
+            kw = dict(top_k=1) if i != 3 else dict(top_k=5, random_seed=77)
+            results[i] = srv.generate(list(ids[i]), 6, timeout=240, **kw)
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=240)
+        for i in range(6):
+            np.testing.assert_array_equal(results[i].output_ids, solo[i])
+        assert srv.batches_run < 6  # coalescing happened
+        # beam request (different statics) still works
+        ob = srv.generate(list(ids[0]), 6, beam_width=2, timeout=240)
+        ref = eng.generate([list(ids[0])], 6, beam_width=2)
+        np.testing.assert_array_equal(ob.output_ids, ref.output_ids[0])
+    finally:
+        srv.close()
