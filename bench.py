@@ -140,6 +140,24 @@ def main():
     import subprocess
 
     env = dict(os.environ, JAX_TRACEBACK_FILTERING="off")  # record real errors
+    # preflight: a dead/hung TPU tunnel (observed 2026-08-21: the axon pool
+    # backend died while its relay port stayed open, so jax init blocked
+    # forever) must fail the bench in ~3 minutes, not 7 x 1800s of hangs
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, timeout=180, env=env, check=False,
+        )
+        tpu_ok = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        tpu_ok = False
+    if not tpu_ok:
+        print(json.dumps({
+            "metric": "bench_failed", "value": 0, "unit": "tok/s",
+            "vs_baseline": 0,
+            "note": "TPU backend unreachable at bench time (jax.devices() hung/failed)",
+        }))
+        return
     ok = 0
     for name, *_ in ATTEMPTS:
         r = subprocess.run(
