@@ -184,13 +184,7 @@ class CodeFuseHandler:
         """Whether every prompt of this request can ride the slot pool."""
         bw = data_package["beam_width"]
         out_len = data_package["output_len"]
-        need = max((len(p) for p in prompts), default=0) + out_len
         routable = getattr(self.server, "routable_pool", None)
-        pool = routable(need, bw) if routable is not None else (
-            self.server.batcher if bw == 1 else None
-        )
-        if pool is None:
-            return False
         if bw != 1 and data_package.get("_stream"):
             # streamed beams ride the static path: its per-step callback
             # carries EVERY beam's newest token (pybind_callback semantics);
@@ -201,7 +195,6 @@ class CodeFuseHandler:
             # buffer (sampling/beam.py step_log_probs); the beam pool tracks
             # scores only
             return False
-        S = pool.max_seq_len
 
         def wl_len(lists, i):
             if lists is None or not lists[i]:
@@ -209,7 +202,17 @@ class CodeFuseHandler:
             return sum(len(self.tokenizer.encode(w)) for w in lists[i])
 
         for b, ids in enumerate(prompts):
-            if len(ids) + out_len > S or len(ids) == 0:
+            if len(ids) == 0:
+                return False
+            # validate each prompt against the pool it would actually route
+            # to — MultiPoolServer routes PER PROMPT by length, and classes
+            # may carry different caps/widths
+            pool = (
+                routable(len(ids) + out_len, bw)
+                if routable is not None
+                else (self.server.batcher if bw == 1 else None)
+            )
+            if pool is None or len(ids) + out_len > pool.max_seq_len:
                 return False
             if bw == 1:
                 tk = (data_package["top_k"] or [50])[b]

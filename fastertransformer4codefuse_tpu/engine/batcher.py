@@ -437,7 +437,11 @@ class ContinuousBatcher:
         # chunk() advances every mid-prefill slot by one bucket per tick)
         r._chunks_left = -(-max(len(src) - 1, 0) // self.prompt_bucket)
         self.running[slot] = r
-        if r.on_text is not None and r.tokenizer is not None:
+        if r.on_text is not None and r.tokenizer is not None and r._decoder is None:
+            # keep an existing decoder across a preemption resume: it is
+            # stateful (token cache + emitted-text watermark) and replacing
+            # it would re-decode continuations without context and drop the
+            # buffered tail
             from ..api.detok import TokenStreamDecoder
 
             r._decoder = TokenStreamDecoder(
@@ -704,11 +708,18 @@ class ContinuousBatcher:
         never write through an unmapped table entry (it would silently land
         in the garbage page and corrupt later reads)."""
         margin = len(self._inflight) + 2
+
+        def stale(r, slot):
+            # a _preempt inside this loop flushes in-flight ticks, which can
+            # RETIRE any request in the sorted snapshot (done requests keep
+            # their .slot value) or evict it — never touch those again
+            return r.done or r.slot != slot or r._pages is None
+
         for slot, r in sorted(
             self.running.items(), key=lambda kv: (kv[1].priority, kv[1].uid)
         ):
-            if r.slot != slot:
-                continue  # evicted by an earlier iteration's preemption
+            if stale(r, slot):
+                continue
             bound = self._lazy_bound(r, margin)
             grow = self.allocator.pages_needed(bound, self.page_size) - len(r._pages)
             if grow <= 0:
@@ -721,6 +732,10 @@ class ContinuousBatcher:
                 if not victims:
                     break
                 self._preempt(max(victims, key=lambda v: (v.priority, v.uid)))
+                if stale(r, slot):
+                    break  # r itself finished/evicted during the flush
+            if stale(r, slot):
+                continue
             if self.allocator.can(grow):
                 r._pages.extend(self.allocator.alloc(grow))
                 self._write_pt(slot, r)

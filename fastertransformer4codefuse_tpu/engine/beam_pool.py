@@ -96,6 +96,11 @@ class BeamPool(ContinuousBatcher):
     # -------------------------------------------------------- admission ----
     def make_request(self, prompt, output_len, **kw):
         kw.pop("beam_width", None)  # pool-level static; tolerated in kw
+        if kw.get("on_text") is not None:
+            raise ValueError(
+                "beam pools do not stream text (the best-so-far row changes "
+                "under reorders); use on_token or the static path"
+            )
         # beam search ignores top_k/top_p and the presence penalty (the
         # reference's DynamicDecodeLayer routes beam_width>1 to the beam
         # layers, whose penalty set is invokeAddBiasApplyPenalties)

@@ -35,8 +35,17 @@ class BatchingServer:
             from .beam_pool import BeamPool
 
             pool_kwargs.pop("sampling_cap", None)  # beams ignore top-k/top-p
-            pool_kwargs.pop("paged", None)
-            pool_kwargs.pop("return_log_probs", None)  # scores are intrinsic
+            if pool_kwargs.pop("paged", None):
+                # silently building a dense pool would multiply HBM use by
+                # beam_width vs the requested page budget — refuse loudly
+                raise ValueError(
+                    "beam pools are dense (beam indirection addresses "
+                    "row-contiguous slabs); drop paged= or use beam_width=1"
+                )
+            # return_log_probs is dropped WITHOUT degradation: beam scores
+            # (cum log-probs per hypothesis) are intrinsic to the search and
+            # returned on every request (Request.beam_cum_log_probs)
+            pool_kwargs.pop("return_log_probs", None)
             self.batcher = BeamPool(engine, beam_width=bw, **pool_kwargs)
         else:
             self.batcher = ContinuousBatcher(engine, **pool_kwargs)

@@ -273,7 +273,6 @@ class T5Engine:
                 )
 
                 # early-stop heuristic (cur_len has advanced by 1)
-                best_len = jnp.float32(cur + 1) if not st.early_stopping else None
                 best_possible = new_running_scores[:, :1] / (
                     jnp.float32(cur + 1) ** lp_pow
                 )

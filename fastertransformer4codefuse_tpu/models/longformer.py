@@ -151,9 +151,12 @@ def _attention(config, lp, x, w_half, is_masked, is_global, use_kernel=False):
 
     i = jnp.arange(S)
     in_band = jnp.abs(i[:, None] - i[None, :]) <= w_half  # [S, S]
-    if use_kernel and not bool(is_global.any()):
+    if use_kernel:
         # no-global fast path: the banded Pallas kernel visits only KV
-        # chunks inside the window (ops/sliding_window.py)
+        # chunks inside the window (ops/sliding_window.py). The routing
+        # decision is STRUCTURAL (global_mask arg absent), never a traced
+        # value — encode() only sets use_kernel when no mask was passed, so
+        # this stays jit-safe.
         from ..ops.sliding_window import sliding_window_attention
 
         ctx = sliding_window_attention(q, k, v, w_half, is_masked)
@@ -204,6 +207,9 @@ def encode(
         is_global = jnp.zeros((B, S), bool)
     else:
         is_global = jnp.asarray(global_mask, bool) & real
+        # the banded kernel cannot serve global columns; route structurally
+        # (by mask-arg presence, never by traced values — jit-safe)
+        use_kernel = False
 
     # RoBERTa-style positions: pad-offset cumsum over real tokens
     pos = jnp.cumsum(real.astype(jnp.int32), axis=1) * real + config.pad_token_id

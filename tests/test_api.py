@@ -573,3 +573,41 @@ def test_handler_speculative_flag():
     code2, err2, res2 = handler.predict(req_stream, "spec-stream")
     assert code2 == 0, err2
     assert "speculative" not in json.loads(res2["res"])
+
+
+def test_pool_routable_validates_per_prompt_pool_class():
+    """Review fix: with heterogeneous MultiPool classes, each prompt must be
+    validated against the class IT routes to — a short prompt landing in a
+    small class with tighter widths must push the whole request to the
+    static path, not crash the submit with an assert."""
+    tok = CharTokenizer()
+    cfg = GptNeoXConfig.tiny(vocab_size=64, end_id=1)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    trie = VocabTrie(tok.get_vocab())
+    pooled = CodeFuseHandler(
+        engine=eng, tokenizer=tok, trie=trie, warmup=False,
+        pool=[
+            dict(max_slots=2, max_seq_len=24, prompt_bucket=8,
+                 stop_words_width=2, sampling_cap=8),
+            dict(max_slots=2, max_seq_len=64, prompt_bucket=8),
+        ],
+    )
+    try:
+        # long prompt -> big class (wide limits); short prompt -> SMALL class
+        # whose stop_words_width=2 cannot hold this 4-char stop word and
+        # whose sampling_cap=8 < top_k=20
+        request = {
+            "prompts": [
+                {"prompt": "x" * 30, "top_k": 1, "last_token": "",
+                 "stop_words": []},
+                {"prompt": "ab", "top_k": 20, "last_token": "",
+                 "stop_words": ["wxyz"]},
+            ],
+            "out_seq_length": 5,
+        }
+        code, err, res = pooled.predict(request, "t")
+        assert code == 0, err  # static fallback, not an assert crash
+        assert json.loads(res["res"])["generated_code"]
+    finally:
+        pooled.server.close()

@@ -190,3 +190,36 @@ def test_longformer_encode_kernel_path_matches_dense_path():
     np.testing.assert_allclose(
         np.asarray(kern_p), np.asarray(dense_p), rtol=2e-4, atol=2e-5
     )
+
+
+def test_longformer_kernel_path_jit_safe():
+    """Review fix: kernel routing is structural (mask-arg presence), so
+    encode(use_kernel=True) works under jax.jit for both the no-global case
+    (banded kernel) and the global case (falls to dense inside the trace)."""
+    import functools
+
+    import jax
+
+    hf = make_hf(seed=9, window=4, layers=1)
+    cfg = config_from_hf_longformer(hf.config)
+    params = params_from_hf_longformer_state_dict(cfg, hf.state_dict())
+    rng = np.random.RandomState(10)
+    ids = rng.randint(2, 96, size=(1, 16)).astype(np.int32)
+    lens = jnp.asarray([16], jnp.int32)
+
+    jit_nog = jax.jit(functools.partial(encode, cfg, use_kernel=True))
+    h1, _ = jit_nog(params, jnp.asarray(ids), lens)
+    ref1, _ = encode(cfg, params, jnp.asarray(ids), lens)
+    np.testing.assert_allclose(
+        np.asarray(h1), np.asarray(ref1), rtol=2e-4, atol=2e-5
+    )
+
+    gm = np.zeros((1, 16), bool)
+    gm[0, 0] = True
+    jit_g = jax.jit(functools.partial(encode, cfg, use_kernel=True))
+    h2, _ = jit_g(params, jnp.asarray(ids), lens, global_mask=jnp.asarray(gm))
+    ref2, _ = encode(cfg, params, jnp.asarray(ids), lens,
+                     global_mask=jnp.asarray(gm))
+    np.testing.assert_allclose(
+        np.asarray(h2), np.asarray(ref2), rtol=2e-4, atol=2e-5
+    )

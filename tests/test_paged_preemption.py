@@ -167,3 +167,59 @@ def test_lazy_preemption_preserves_sampled_rng_path():
     done = cb.run(max_ticks=400)
     assert done[lo].preemptions >= 1, "test needs the sampled request preempted"
     assert done[lo].output_ids == ref, (done[lo].output_ids, ref)
+
+
+def test_ensure_pages_survives_requests_retiring_during_flush():
+    """Review fix: _ensure_pages must skip requests that RETIRE (done, pages
+    released) while a preemption flushes in-flight ticks — previously it
+    crashed the driver on r._pages.extend(None) and leaked the fresh pages."""
+    eng = mk_engine()
+    cb = ContinuousBatcher(
+        eng, max_slots=3, max_seq_len=32, prompt_bucket=8,
+        paged=dict(num_pages=7, page_size=8, lazy=True),
+        pipeline_ticks=True,
+    )
+    uids = [cb.submit(PROMPTS[i % 4], 18, top_k=1, priority=i % 2)
+            for i in range(3)]
+    # simulate the race directly: a running request retires mid-flush
+    for _ in range(4):
+        cb.step()
+    victim = next(iter(cb.running.values()))
+    victim.done = True
+    if victim._pages:
+        cb.allocator.release(victim._pages)
+    victim._pages = None
+    cb._ensure_pages()  # must not raise on the stale entry
+    # and the stress path: many early-EOS requests under pressure
+    refs = refs_for(eng, PROMPTS, [10] * 4)
+    done = cb.run(max_ticks=600)
+    for uid in uids:
+        assert done[uid].done
+
+
+def test_streaming_decoder_survives_preemption():
+    """Review fix: a preempted+resumed request keeps its stateful
+    TokenStreamDecoder — streamed text equals the final decode."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_api import CharTokenizer
+
+    tok = CharTokenizer()
+    eng = mk_engine()
+    cb = ContinuousBatcher(
+        eng, max_slots=2, max_seq_len=32, prompt_bucket=8,
+        paged=dict(num_pages=6, page_size=8, lazy=True),
+    )
+    streamed = []
+    lo = cb.submit(PROMPTS[1], 20, top_k=1, priority=5,
+                   on_text=streamed.append, tokenizer=tok)
+    hi = cb.submit(PROMPTS[0], 20, top_k=1, priority=0)
+    done = cb.run(max_ticks=500)
+    assert done[lo].preemptions >= 1, "test needs the streaming request preempted"
+    gen = []
+    for t in done[lo].output_ids[len(PROMPTS[1]):]:
+        if t == eng.config.end_id:
+            break
+        gen.append(int(t))
+    assert "".join(streamed) == tok.decode(gen), (streamed, gen)
