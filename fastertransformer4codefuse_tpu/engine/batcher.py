@@ -95,6 +95,9 @@ class Request:
     beam_cum_log_probs: Optional[List[float]] = None
     # times this request was preempted (lazy paged pools; recompute on resume)
     preemptions: int = 0
+    # prompt-learning task id (pools built with prompt_table=...; the
+    # reference's prompt_learning_table task selection, GptNeoX.cc:483-509)
+    prompt_task_id: Optional[int] = None
     _decoder: Optional[object] = None
     _chunks_left: int = 0
     _pages: Optional[List[int]] = None  # paged pools: reserved page ids
@@ -127,6 +130,7 @@ class ContinuousBatcher:
         flash_decode: str = "on",  # | "off" ("pinned" = legacy alias of on)
         paged: Optional[dict] = None,  # {"num_pages": P, "page_size": 256}
         pipeline_ticks: bool = False,  # overlap host sync with the next tick
+        prompt_table: Optional[dict] = None,  # {task: (kv [L,2,nH,P,dh], len)}
     ):
         assert max_seq_len % prompt_bucket == 0, "max_seq_len must be a multiple of prompt_bucket"
         if flash_decode == "pinned":
@@ -224,6 +228,32 @@ class ContinuousBatcher:
         # S/dh gates still route tiny caches to the XLA path.
         self.flash_decode = flash_decode
         self.pipeline_ticks = pipeline_ticks
+        # Prompt learning FROM the pool (the r4 fallback retired): per-slot
+        # prefix K/V occupy cache slots [0, prompt_width) ahead of the
+        # request (pos_offset), exactly the one-shot engine's scheme
+        # (engine.py _prefill_state prompt path / GptNeoX.cc:443-509).
+        # Dense pools only: paged block tables have no prefix region.
+        self.prompt_table = dict(prompt_table) if prompt_table else None
+        self.prompt_width = 0
+        if self.prompt_table is not None:
+            assert self.paged is None, (
+                "prompt learning in paged pools is not supported (block "
+                "tables carry no prefix region) — use a dense pool"
+            )
+            assert engine._cache_dtype() not in ("int4", "int8k_int4v"), (
+                "prompt learning requires an unpacked KV cache (bf16/int8): "
+                "per-row prefix widths straddle int4 position-pair bytes"
+            )
+            cfg0 = engine.config
+            for t, (kv, n) in self.prompt_table.items():
+                kv = np.asarray(kv)
+                assert kv.ndim == 5 and kv.shape[:3] == (
+                    cfg0.layer_num, 2, cfg0.kv_heads
+                ) and kv.shape[4] == cfg0.size_per_head, (t, kv.shape)
+                assert kv.shape[3] >= n
+                self.prompt_width = max(self.prompt_width, int(n))
+            self.prompt_width = -(-self.prompt_width // 8) * 8  # bucket
+        self._prefix_fn = None
         self._inflight: List[tuple] = []  # dispatched, not-yet-fetched ticks
         self._state = self._init_state()
         if self.mesh is not None:
@@ -249,8 +279,11 @@ class ContinuousBatcher:
                 page_size=self.page_size, dtype=dt,
             )
         else:
-            cache = model.init_kv_cache(cfg, B, S, self.engine._cache_dtype())
+            cache = model.init_kv_cache(
+                cfg, B, S + self.prompt_width, self.engine._cache_dtype()
+            )
         return {
+            "pos_offset": jnp.zeros((B,), jnp.int32),
             "tokens": jnp.full((B, S), cfg.end_id, jnp.int32),
             "seq_lens": jnp.zeros((B,), jnp.int32),
             "stop_at": jnp.zeros((B,), jnp.int32),  # seq_len limit per slot
@@ -292,6 +325,14 @@ class ContinuousBatcher:
                     f"request needs {total} pages; pool has "
                     f"{self.allocator.n_pages - 1} allocatable"
                 )
+        if r.prompt_task_id is not None:
+            if self.prompt_table is None:
+                raise ValueError(
+                    "pool has no prompt_table; build the batcher with "
+                    "prompt_table={task: (kv, len)} to serve prompt learning"
+                )
+            if r.prompt_task_id not in self.prompt_table:
+                raise ValueError(f"unknown prompt task {r.prompt_task_id}")
         # width limits validate HERE (client thread, fails only this request)
         # — an assert inside _admit would fire on the server's driver thread
         # and kill the whole pool
@@ -338,7 +379,7 @@ class ContinuousBatcher:
 
         def admit(state, slot, ids, in_len, stop_at, top_k, top_p, temperature,
                   rep_penalty, pres_penalty, min_length, stop_w, bad_w, olt, seed,
-                  steps0=0, pt_row=None):
+                  steps0=0, p_off=0, pt_row=None):
             row = jnp.full((S,), end_id, jnp.int32)
             row = jax.lax.dynamic_update_slice(row, ids, (0,))
             row = jnp.where(jnp.arange(S) < in_len, row, end_id)
@@ -363,6 +404,8 @@ class ContinuousBatcher:
             # fold_in sequence and the first-step-only optional-last-tokens
             # mask exactly where an uninterrupted run would have them
             st["steps"] = state["steps"].at[slot].set(steps0)
+            # prompt-learning prefix length: cache slot = buffer idx + p_off
+            st["pos_offset"] = state["pos_offset"].at[slot].set(p_off)
             if paged:  # install the slot's reserved pages in the block table
                 cache = dict(state["cache"])
                 cache["pt"] = cache["pt"].at[slot].set(pt_row)
@@ -371,6 +414,41 @@ class ContinuousBatcher:
 
         self._admit_fn = jax.jit(admit, donate_argnums=(0,))
         return self._admit_fn
+
+    def _get_prefix_fn(self):
+        """Per-slot prefix-prompt K/V write into cache slots [0, prompt_width)
+        (the one-shot engine's write_prefix, kv_cache.py, per slot; quantized
+        caches quantize the prefix per vector like every other write)."""
+        if self._prefix_fn is not None:
+            return self._prefix_fn
+        from . import kv_cache as kvc
+
+        def write(state, slot, k_pre, v_pre):
+            cache = dict(state["cache"])
+            kb = k_pre[:, None]  # [L, 1, nKV, Pw, dh]
+            vb = v_pre[:, None]
+            if kvc.quantized(cache):
+                kq, ks = kvc._quantize_vec(kb)
+                vq, vs = kvc._quantize_vec(vb)
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], kq.astype(cache["k"].dtype), (0, slot, 0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], vq.astype(cache["v"].dtype), (0, slot, 0, 0, 0))
+                cache["k_s"] = jax.lax.dynamic_update_slice(
+                    cache["k_s"], ks.astype(cache["k_s"].dtype), (0, slot, 0, 0))
+                cache["v_s"] = jax.lax.dynamic_update_slice(
+                    cache["v_s"], vs.astype(cache["v_s"].dtype), (0, slot, 0, 0))
+            else:
+                cache["k"] = jax.lax.dynamic_update_slice(
+                    cache["k"], kb.astype(cache["k"].dtype), (0, slot, 0, 0, 0))
+                cache["v"] = jax.lax.dynamic_update_slice(
+                    cache["v"], vb.astype(cache["v"].dtype), (0, slot, 0, 0, 0))
+            st = dict(state)
+            st["cache"] = cache
+            return st
+
+        self._prefix_fn = jax.jit(write, donate_argnums=(0,))
+        return self._prefix_fn
 
     def _lazy_bound(self, r: Request, margin: int = 2) -> int:
         """Highest sequence position (exclusive) this request can touch within
@@ -413,6 +491,10 @@ class ContinuousBatcher:
             jnp.asarray(olt),
             jnp.uint32(r.random_seed),
             jnp.int32(gen_offset),
+            jnp.int32(
+                0 if r.prompt_task_id is None
+                else self.prompt_table[r.prompt_task_id][1]
+            ),
         ]
         r._admit_len = len(src)
         r._emitted_admit = 0
@@ -432,6 +514,20 @@ class ContinuousBatcher:
             pt_row[: len(r._pages)] = r._pages
             args.append(jnp.asarray(pt_row))
         self._state = self._get_admit_fn()(*args)
+        if r.prompt_task_id is not None:
+            kv, _n = self.prompt_table[r.prompt_task_id]
+            Pw = self.prompt_width
+            cfg2 = self.cfg
+            k_pre = np.zeros(
+                (cfg2.layer_num, cfg2.kv_heads, Pw, cfg2.size_per_head),
+                np.float32,
+            )
+            v_pre = np.zeros_like(k_pre)
+            k_pre[:, :, : kv.shape[3]] = kv[:, 0]
+            v_pre[:, :, : kv.shape[3]] = kv[:, 1]
+            self._state = self._get_prefix_fn()(
+                self._state, slot, jnp.asarray(k_pre), jnp.asarray(v_pre)
+            )
         r.slot = slot
         # host mirror of the device-side prefill progress (deterministic:
         # chunk() advances every mid-prefill slot by one bucket per tick)
@@ -462,10 +558,15 @@ class ContinuousBatcher:
         def chunk(params, state):
             target = jnp.maximum(state["input_lens"] - 1, 0)
             prefilling = state["active"] & (state["prefill_pos"] < target)
-            pos = jnp.clip(state["prefill_pos"], 0, self.max_seq_len - C)
+            buf_pos = jnp.clip(state["prefill_pos"], 0, self.max_seq_len - C)
             rows = jnp.arange(B)[:, None]
-            cols = jnp.clip(pos[:, None] + jnp.arange(C)[None, :], 0, self.max_seq_len - 1)
+            cols = jnp.clip(
+                buf_pos[:, None] + jnp.arange(C)[None, :], 0, self.max_seq_len - 1
+            )
             tok_chunk = state["tokens"][rows, cols]  # [B, C]
+            # cache slot / rotary position = buffer index + prefix offset
+            # (prompt-learning prefixes occupy cache slots [0, pos_offset))
+            pos = buf_pos + state["pos_offset"]
             if self._pp > 1:
                 from ..parallel import pipeline
 
@@ -504,8 +605,10 @@ class ContinuousBatcher:
             ready = state["active"] & (state["prefill_pos"] >= target)
             # forward the last real token of every ready slot; other rows run a
             # dummy position-0 token with kv_skip so their cache is untouched
-            positions = jnp.clip(state["seq_lens"] - 1, 0, S - 1)
-            newest = state["tokens"][jnp.arange(B), positions]
+            buf_idx = jnp.clip(state["seq_lens"] - 1, 0, S - 1)
+            newest = state["tokens"][jnp.arange(B), buf_idx]
+            # cache slot / rotary position = buffer index + prefix offset
+            positions = buf_idx + state["pos_offset"]
             if self._pp > 1:
                 from ..parallel import pipeline
 
