@@ -28,7 +28,7 @@ NEG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _kernel(scalars, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-            *, w: int, C: int, n_band: int, nc: int):
+            *, w: int, C: int, n_band: int, nc: int, causal: bool = False):
     b = pl.program_id(0)
     qi = pl.program_id(2)
     step = pl.program_id(3)
@@ -54,7 +54,11 @@ def _kernel(scalars, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         )  # [C, C]
         qidx = qi * C + jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
         kidx = jc * C + jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-        allow = (jnp.abs(qidx - kidx) <= w) & (kidx < length)
+        if causal:
+            # Mistral-class sliding-window causal band: j in [i-w, i]
+            allow = (kidx <= qidx) & (qidx - kidx <= w) & (kidx < length)
+        else:
+            allow = (jnp.abs(qidx - kidx) <= w) & (kidx < length)
         s = jnp.where(allow, s, NEG)
 
         m_prev = m_ref[:, :1]  # [C, 1] running max
@@ -77,7 +81,7 @@ def _kernel(scalars, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w_half", "chunk", "interpret")
+    jax.jit, static_argnames=("w_half", "chunk", "interpret", "causal")
 )
 def sliding_window_attention(
     q: jax.Array,  # [B, S, nH, dh] — ALREADY scaled by 1/sqrt(dh)
@@ -87,10 +91,13 @@ def sliding_window_attention(
     is_masked: jax.Array,  # [B, S] bool — padding positions
     chunk: int = 128,
     interpret=None,  # None = interpret off-TPU (tests run the CPU backend)
+    causal: bool = False,  # sliding-window CAUSAL band [i-w, i] — the
+    # Mistral-lineage prefill pattern (band + causality in one mask)
 ) -> jax.Array:
-    """Banded attention: position i attends j iff |i-j| <= w_half and j is a
-    real token. Padded query rows return 0 (matching models/longformer's
-    dense path / HF's prob zeroing). Returns [B, S, nH, dh]."""
+    """Banded attention: position i attends j iff |i-j| <= w_half (causal:
+    i-w_half <= j <= i) and j is a real token. Padded query rows return 0
+    (matching models/longformer's dense path / HF's prob zeroing).
+    Returns [B, S, nH, dh]."""
     B, S, nH, dh = q.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -107,7 +114,7 @@ def sliding_window_attention(
 
     qp, kp, vp = pad(q), pad(k), pad(v)
     lengths = jnp.sum((~is_masked).astype(jnp.int32), axis=1)
-    n_band = 2 * (-(-w // C)) + 1
+    n_band = (-(-w // C)) + 1 if causal else 2 * (-(-w // C)) + 1
 
     spec = pl.BlockSpec(
         (1, 1, C, dh),
@@ -132,7 +139,9 @@ def sliding_window_attention(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, w=w, C=C, n_band=n_band, nc=nc),
+        functools.partial(
+            _kernel, w=w, C=C, n_band=n_band, nc=nc, causal=causal
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, nH, Sp, dh), q.dtype),
         compiler_params=pltpu.CompilerParams(

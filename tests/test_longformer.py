@@ -223,3 +223,34 @@ def test_longformer_kernel_path_jit_safe():
     np.testing.assert_allclose(
         np.asarray(h2), np.asarray(ref2), rtol=2e-4, atol=2e-5
     )
+
+
+def test_sliding_window_kernel_causal_mode():
+    """Causal banded mode (the Mistral-lineage sliding-window prefill
+    pattern: j in [i-w, i]) — exact vs the dense causal band, and the grid
+    visits only ceil(w/C)+1 chunks per query chunk."""
+    from fastertransformer4codefuse_tpu.ops.sliding_window import (
+        sliding_window_attention,
+    )
+
+    rng = np.random.RandomState(4)
+    B, S, nH, dh = 2, 40, 4, 16
+    q = jnp.asarray(rng.randn(B, S, nH, dh).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, S, nH, dh).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, S, nH, dh).astype(np.float32))
+    lens = np.array([40, 26], np.int32)
+    is_masked = jnp.asarray(np.arange(S)[None, :] >= lens[:, None])
+    i = np.arange(S)
+    for w in (3, 8, 17):
+        band = (i[None, :] <= i[:, None]) & (i[:, None] - i[None, :] <= w)
+        allow = band[None] & ~np.asarray(is_masked)[:, None, :]
+        scores = np.einsum("bqhd,bkhd->bhqk", q, k)
+        scores = np.where(allow[:, None], scores, np.finfo(np.float32).min)
+        probs = np.exp(scores - scores.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        want = np.einsum("bhqk,bkhd->bqhd", probs, v)
+        want = np.where(np.asarray(is_masked)[:, :, None, None], 0.0, want)
+        got = sliding_window_attention(
+            q, k, v, w, is_masked, chunk=16, interpret=True, causal=True
+        )
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-6)
