@@ -335,13 +335,14 @@ class CodeFuseHandler:
 
     def _spec_eligible(self, request_dict, dp, prompts, use_callback) -> bool:
         """Prompt-lookup speculative decoding (engine/speculative.py) serves
-        single greedy non-streaming requests with no token processors — the
-        regime where multi-token steps pay off (repetitive code output)."""
+        greedy non-streaming requests (any batch size — multi-prompt goes
+        through the batched loop) with no token processors — the regime
+        where multi-token steps pay off (repetitive code output)."""
         if not request_dict.get("speculative"):
             return False
-        if use_callback or dp["beam_width"] != 1 or len(prompts) != 1:
+        if use_callback or dp["beam_width"] != 1 or len(prompts) == 0:
             return False
-        if (dp["top_k"] or [50])[0] != 1:
+        if any(v != 1 for v in (dp["top_k"] or [50] * len(prompts))):
             return False
         if dp["output_log_probs"]:
             return False
@@ -349,32 +350,47 @@ class CodeFuseHandler:
             v = dp.get(key)
             if v is not None and any(v):
                 return False
-        return len(prompts[0]) > 0
+        return all(len(p) > 0 for p in prompts)
 
     def _predict_speculative(self, dp: dict, prompts: List[List[int]]):
-        from ..engine.speculative import speculative_generate
+        from ..engine.speculative import (
+            speculative_generate,
+            speculative_generate_batched,
+        )
 
         start = time.time()
         with self._static_lock:  # shares the engine's one-shot resources
-            toks, stats = speculative_generate(
-                self.engine, prompts[0], dp["output_len"]
-            )
-        gen = []
+            if len(prompts) == 1:
+                toks, stats = speculative_generate(
+                    self.engine, prompts[0], dp["output_len"]
+                )
+                all_toks, all_stats = [toks], [stats]
+            else:
+                all_toks, all_stats = speculative_generate_batched(
+                    self.engine, prompts, dp["output_len"]
+                )
         end_id = self.engine.config.end_id
-        for t in toks[len(prompts[0]):]:
-            if t == end_id:
-                break
-            gen.append(int(t))
+        codes, lengths, lps = [], [], []
+        for prompt, toks in zip(prompts, all_toks):
+            gen = []
+            for t in toks[len(prompt):]:
+                if t == end_id:
+                    break
+                gen.append(int(t))
+            codes.append([trim_garbage(self.tokenizer.decode(gen))])
+            lengths.append([len(gen)])
         return {
             "latency": time.time() - start,
             "random_seed": dp["random_seed"],
-            "generated_code": [[trim_garbage(self.tokenizer.decode(gen))]],
-            "length": [[len(gen)]],
-            "cum_log_prob": [[stats.cum_log_prob]],
+            "generated_code": codes,
+            "length": lengths,
+            "cum_log_prob": [[s.cum_log_prob] for s in all_stats],
             "speculative": {
-                "iterations": stats.iterations,
-                "tokens_per_step": stats.tokens_per_step,
-                "accepted": stats.accepted,
+                "iterations": all_stats[0].iterations,
+                "tokens_per_step": sum(
+                    s.tokens_per_step for s in all_stats
+                ) / len(all_stats),
+                "accepted": sum(s.accepted for s in all_stats),
             },
         }
 

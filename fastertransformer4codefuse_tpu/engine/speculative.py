@@ -169,6 +169,138 @@ def _spec_loop(cfg, params, tokens, l0, cache, stop_at, k, ngram):
     return tokens, l, it, acc, drf, lp
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "ngram"))
+def _spec_loop_batched(cfg, params, tokens, l0, cache, stop_at, done0, k, ngram):
+    """Batched analog of ``_spec_loop``: every row proposes its own draft,
+    ONE [B, C] chunked forward verifies all rows, and per-row commit lengths
+    advance independently. Finished rows ride along masked (active=~done in
+    prefill_chunk preserves their cache bytes; commit forced 0) until every
+    row is done — the whole batch stays inside one ``lax.while_loop``, so
+    the tunnel round-trip cost is unchanged from B=1."""
+    C = k + 1
+    end_id = cfg.end_id
+
+    def cond(carry):
+        tokens, l, cache, done, it, acc, drf, lp = carry
+        return jnp.any(~done)
+
+    def body(carry):
+        tokens, l, cache, done, it, acc, drf, lp = carry
+        draft, has = jax.vmap(_propose_device, in_axes=(0, 0, None, None))(
+            tokens, l, ngram, k
+        )  # [B, k], [B]
+        last = jax.vmap(
+            lambda row, i: jax.lax.dynamic_slice(row, (i - 1,), (1,))
+        )(tokens, l)  # [B, 1]
+        chunk = jnp.concatenate([last, draft], axis=1)  # [B, C]
+        hidden, cache = model.prefill_chunk(
+            cfg, params, chunk, l - 1, cache, ~done
+        )
+        logits = model.lm_logits(cfg, params, hidden)  # [B, C, V]
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, C]
+
+        matches = draft == g[:, :k]
+        m = jnp.sum(jnp.cumprod(matches.astype(jnp.int32), axis=1), axis=1)
+        iota = jnp.arange(C)[None, :]
+        ext = jnp.concatenate([draft, draft[:, -1:]], axis=1)  # [B, C]
+        bonus = jnp.take_along_axis(g, m[:, None], axis=1)  # [B, 1]
+        cand = jnp.where(iota < m[:, None], ext, bonus)  # [B, C]
+        is_end = (cand == end_id) & (iota <= m[:, None])
+        first_end = jnp.min(jnp.where(is_end, iota, C), axis=1)  # [B]
+        commit = jnp.minimum(jnp.minimum(m, first_end) + 1, stop_at - l)
+        commit = jnp.where(done, 0, commit)
+
+        def upd(row, l_b, cand_b, c_b):
+            old = jax.lax.dynamic_slice(row, (l_b,), (C,))
+            new = jnp.where(jnp.arange(C) < c_b, cand_b, old)
+            return jax.lax.dynamic_update_slice(row, new, (l_b,))
+
+        tokens = jax.vmap(upd)(tokens, l, cand, commit)
+        lse = jax.nn.logsumexp(logits, axis=-1)  # [B, C]
+        chosen = jnp.take_along_axis(logits, g[..., None], axis=2)[..., 0]
+        lp = lp + jnp.sum(
+            jnp.where(iota < commit[:, None], chosen - lse, 0.0), axis=1
+        )
+        acc = acc + jnp.where(done, 0, m)
+        drf = drf + jnp.where((~done) & has, k, 0)
+        l = l + commit
+        done = done | (first_end < C) | (l >= stop_at)
+        return (tokens, l, cache, done, it + 1, acc, drf, lp)
+
+    B = tokens.shape[0]
+    init = (tokens, l0, cache, done0, jnp.int32(0),
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.float32))
+    (tokens, l, cache, done, it, acc, drf, lp) = jax.lax.while_loop(
+        cond, body, init
+    )
+    return tokens, l, it, acc, drf, lp
+
+
+def speculative_generate_batched(
+    engine,
+    prompts: List[List[int]],
+    output_len: int,
+    k: int = 8,
+    ngram: int = 3,
+) -> tuple[List[List[int]], List[SpecStats]]:
+    """Batched greedy generation with per-row prompt-lookup speculation.
+
+    Returns (per-row token sequences incl. prompt, per-row SpecStats). Each
+    emitted token equals what B=1 ``speculative_generate`` (and hence plain
+    greedy through the chunked program) would produce for that prompt; the
+    loop runs until the SLOWEST row finishes, so iteration counts are shared
+    across the batch. Two device dispatches total."""
+    cfg = engine.config
+    params = engine.params
+    B = len(prompts)
+    if output_len <= 0:
+        return [list(p) for p in prompts], [SpecStats() for _ in prompts]
+    C = k + 1
+    in_lens = [len(p) for p in prompts]
+    S = max(in_lens) + output_len + C + 1
+    bucket = max(engine.runtime.seq_bucket, C)
+    S = -(-S // bucket) * bucket
+
+    cache = model.init_kv_cache(cfg, B, S, engine._cache_dtype())
+
+    ids = np.full((B, S), cfg.end_id, np.int32)
+    for b, p in enumerate(prompts):
+        ids[b, : len(p)] = p
+    n = jnp.asarray(in_lens, jnp.int32)
+    first, first_lp, cache = _spec_prefill(
+        cfg, params, jnp.asarray(ids), n, cache
+    )
+    tokens = jnp.asarray(ids).at[jnp.arange(B), n].set(first)
+    l0 = n + 1
+    stop_at = n + output_len
+    done0 = (first == cfg.end_id) | (l0 >= stop_at)
+
+    tokens, l, it, acc, drf, lp = _spec_loop_batched(
+        cfg, params, tokens, l0, cache, stop_at, done0, k=k, ngram=ngram,
+    )
+    tokens_h = np.asarray(tokens)
+    l_h = np.asarray(l)
+    it = int(it)
+    outs: List[List[int]] = []
+    stats: List[SpecStats] = []
+    for b in range(B):
+        out = [int(t) for t in tokens_h[b, : int(l_h[b])]]
+        for i in range(in_lens[b], len(out)):
+            if out[i] == cfg.end_id:
+                out = out[: i + 1]
+                break
+        outs.append(out)
+        stats.append(SpecStats(
+            iterations=1 + it,
+            drafted=int(drf[b]),
+            accepted=int(acc[b]),
+            emitted=len(out) - in_lens[b],
+            cum_log_prob=float(first_lp[b]) + float(lp[b]),
+        ))
+    return outs, stats
+
+
 def speculative_generate(
     engine,
     prompt: List[int],

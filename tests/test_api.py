@@ -575,6 +575,35 @@ def test_handler_speculative_flag():
     assert "speculative" not in json.loads(res2["res"])
 
 
+def test_handler_speculative_batched():
+    """Multi-prompt greedy speculative requests ride the batched loop and
+    return per-prompt text/length/cum_log_prob identical to the plain path."""
+    handler, tok = make_handler()
+    req = {
+        "prompts": [
+            {"prompt": "ababab abab", "top_k": 1, "last_token": "",
+             "stop_words": []},
+            {"prompt": "cd cd cd cd", "top_k": 1, "last_token": "",
+             "stop_words": []},
+        ],
+        "out_seq_length": 8,
+    }
+    code0, err0, res0 = handler.predict(req, "plain-b2")
+    assert code0 == 0, err0
+    plain = json.loads(res0["res"])
+
+    code1, err1, res1 = handler.predict(dict(req, speculative=True), "spec-b2")
+    assert code1 == 0, err1
+    spec = json.loads(res1["res"])
+    assert "speculative" in spec
+    assert spec["generated_code"] == plain["generated_code"]
+    assert spec["length"] == plain["length"]
+    np.testing.assert_allclose(
+        np.asarray(spec["cum_log_prob"]), np.asarray(plain["cum_log_prob"]),
+        atol=1e-3,
+    )
+
+
 def test_pool_routable_validates_per_prompt_pool_class():
     """Review fix: with heterogeneous MultiPool classes, each prompt must be
     validated against the class IT routes to — a short prompt landing in a

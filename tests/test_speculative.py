@@ -79,3 +79,42 @@ def test_speculative_eos_stops():
     want = [int(x) for x in ref.output_ids[0, 0, :n]]
     got, _ = speculative_generate(eng, prompt, 30, k=6)
     assert got == want  # incl. EOS truncation behavior
+
+
+def test_batched_matches_per_row_b1():
+    """Batched speculation must emit, per row, exactly what the B=1 path
+    emits for that prompt alone — ragged prompts, shared loop."""
+    from fastertransformer4codefuse_tpu.engine.speculative import (
+        speculative_generate_batched,
+    )
+
+    cfg, eng = mk_engine(seed=2)
+    prompts = [
+        [7, 8, 9, 10, 7, 8, 9, 10, 7, 8, 9, 10, 7, 8],
+        [3, 4, 5],
+        [11, 12, 11, 12, 11, 12, 11],
+    ]
+    OUT = 14
+    outs, stats = speculative_generate_batched(eng, prompts, OUT, k=6, ngram=3)
+    assert len(outs) == len(prompts) == len(stats)
+    for p, got, st in zip(prompts, outs, stats):
+        want, _ = speculative_generate(eng, p, OUT, k=6, ngram=3)
+        assert got == want, (p, got, want)
+        assert st.emitted == len(got) - len(p)
+
+
+def test_batched_matches_plain_greedy_and_eos():
+    """And therefore plain greedy engine output (incl. EOS truncation)."""
+    from fastertransformer4codefuse_tpu.engine.speculative import (
+        speculative_generate_batched,
+    )
+
+    cfg, eng = mk_engine(seed=1)
+    prompts = [[3, 4, 5, 6], [9, 2, 9, 2, 9]]
+    OUT = 20
+    outs, _ = speculative_generate_batched(eng, prompts, OUT, k=6, ngram=3)
+    ref = eng.generate(prompts, output_len=OUT, top_k=1)
+    for b, p in enumerate(prompts):
+        n = int(ref.sequence_lengths[b, 0])
+        want = [int(x) for x in ref.output_ids[b, 0, :n]]
+        assert outs[b] == want, (b, outs[b], want)
