@@ -180,8 +180,43 @@ class CodeFuseHandler:
             print(text, end="", flush=True)
 
     # ------------------------------------------------------------- pooled ----
+    def _spec_pool_routable(self, dp: dict, prompts: List[List[int]]) -> bool:
+        """Whether a speculative-flagged request can ride a speculative pool
+        (handler built with pool=dict(speculative=True, ...)): greedy-only,
+        processor-free, and within the pool's draft margin."""
+        from ..engine.spec_pool import SpecPool
+
+        b = getattr(self.server, "batcher", None)
+        if not isinstance(b, SpecPool) or dp["beam_width"] != 1:
+            return False
+        margin = b.max_seq_len - (b.k + 2)
+        n = len(prompts)
+        for i, ids in enumerate(prompts):
+            if len(ids) == 0 or len(ids) + dp["output_len"] > margin:
+                return False
+            if (dp["top_k"] or [50] * n)[i] != 1:
+                return False
+        for key, default in (
+            ("temperature", 1.0), ("repetition_penalty", 1.0),
+            ("presence_penalty", 0.0), ("min_length", 0), ("top_p", 0.0),
+        ):
+            v = dp.get(key)
+            if v is not None and any(x != default for x in v):
+                return False
+        for key in ("stop_words_list", "bad_words_list", "last_token_list"):
+            v = dp.get(key)
+            if v is not None and any(v):
+                return False
+        return True
+
     def _pool_routable(self, data_package: dict, prompts: List[List[int]]) -> bool:
         """Whether every prompt of this request can ride the slot pool."""
+        from ..engine.spec_pool import SpecPool
+
+        if isinstance(getattr(self.server, "batcher", None), SpecPool):
+            # spec pools serve only speculative-flagged requests, routed
+            # before this check (predict's _spec_pool_routable branch)
+            return False
         bw = data_package["beam_width"]
         out_len = data_package["output_len"]
         routable = getattr(self.server, "routable_pool", None)
@@ -412,6 +447,20 @@ class CodeFuseHandler:
                     list(self.tokenizer.encode(t))
                     for t in data_package["texts"]
                 ]
+            if request_dict.get("speculative") and self.server is not None \
+                    and self._spec_pool_routable(data_package, prompts_maybe):
+                # continuous-batching speculative serving (engine/spec_pool):
+                # rides the standard pooled path — streaming included
+                data_package["_stream"] = use_callback
+                response = self._predict_pooled(
+                    data_package, use_callback, prompts_maybe
+                )
+                response_str = json.dumps(response, ensure_ascii=False)
+                logger.info(
+                    "%s response (pooled speculative): %s", trace_id,
+                    response_str,
+                )
+                return (0, "ok", {"res": response_str})
             if request_dict.get("speculative") and self._spec_eligible(
                 request_dict, data_package, prompts_maybe, use_callback
             ):

@@ -31,7 +31,26 @@ class BatchingServer:
         # (engine/beam_pool.py; the reference serves beams inside the same
         # forward via DynamicDecodeLayer.cc:309-409)
         bw = int(pool_kwargs.pop("beam_width", 1) or 1)
-        if bw > 1:
+        spec = bool(pool_kwargs.pop("speculative", False))
+        if spec:
+            # speculative-serving pool (engine/spec_pool.py): the decode tick
+            # is a (k+1)-wide prompt-lookup verify; greedy-only requests
+            assert bw == 1, "speculative pools are greedy (beam_width 1)"
+            from .spec_pool import SpecPool
+
+            pool_kwargs.pop("sampling_cap", None)
+            if pool_kwargs.pop("paged", None):
+                raise ValueError(
+                    "speculative pools are dense-KV; drop paged= or "
+                    "speculative="
+                )
+            self.batcher = SpecPool(
+                engine,
+                k=int(pool_kwargs.pop("spec_k", 8)),
+                ngram=int(pool_kwargs.pop("spec_ngram", 3)),
+                **pool_kwargs,
+            )
+        elif bw > 1:
             from .beam_pool import BeamPool
 
             pool_kwargs.pop("sampling_cap", None)  # beams ignore top-k/top-p

@@ -640,3 +640,61 @@ def test_pool_routable_validates_per_prompt_pool_class():
         assert json.loads(res["res"])["generated_code"]
     finally:
         pooled.server.close()
+
+
+def test_handler_speculative_pool():
+    """pool=dict(speculative=True): greedy speculative requests ride the
+    continuous-batching SpecPool (streaming included); non-speculative or
+    non-greedy requests fall back to the static path."""
+    tok = CharTokenizer(())
+    cfg = GptNeoXConfig.tiny(vocab_size=64, end_id=1)
+    params = init_params(cfg, dtype="fp32")
+    eng = GptNeoXEngine(cfg, params, RuntimeConfig(dtype="fp32", seq_bucket=8))
+    h = CodeFuseHandler(
+        engine=eng, tokenizer=tok, warmup=False,
+        pool=dict(speculative=True, spec_k=6, max_slots=2, max_seq_len=64,
+                  prompt_bucket=8, pipeline_ticks=False),
+    )
+    try:
+        req = {
+            "prompts": [
+                {"prompt": "ababab abab", "top_k": 1, "stop_words": []},
+                {"prompt": "cd cd cd cd", "top_k": 1, "stop_words": []},
+            ],
+            "out_seq_length": 8,
+        }
+        code0, err0, res0 = h.predict(req, "plain")
+        assert code0 == 0, err0
+        plain = json.loads(res0["res"])  # static (spec pool not routable)
+
+        code1, err1, res1 = h.predict(dict(req, speculative=True), "specpool")
+        assert code1 == 0, err1
+        pooled = json.loads(res1["res"])
+        assert pooled["generated_code"] == plain["generated_code"]
+        assert pooled["length"] == plain["length"]
+        np.testing.assert_allclose(
+            np.asarray(pooled["cum_log_prob"]),
+            np.asarray(plain["cum_log_prob"]), atol=1e-3,
+        )
+
+        # streaming through the spec pool: chunks concatenate to the text
+        chunks = []
+        h.on_stream_text = lambda b, j, s: chunks.append((b, s))
+        code2, err2, res2 = h.predict(
+            dict(req, speculative=True, stream=True), "specpool-stream"
+        )
+        assert code2 == 0, err2
+        streamed = json.loads(res2["res"])
+        assert streamed["generated_code"] == plain["generated_code"]
+        text0 = "".join(s for b, s in chunks if b == 0)
+        assert text0.strip() == plain["generated_code"][0][0].strip()
+
+        # non-greedy requests on a spec-pool handler use the static path
+        req_tk = {
+            "prompts": [{"prompt": "ababab", "top_k": 4, "stop_words": []}],
+            "out_seq_length": 6,
+        }
+        code3, err3, _ = h.predict(dict(req_tk, speculative=True), "fallback")
+        assert code3 == 0, err3
+    finally:
+        h.server.close()

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--in_len", type=int, default=512)
     ap.add_argument("--out", type=int, default=256)
     ap.add_argument("--k", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1: run the batched loop on B prompt variants and "
+                         "report aggregate tok/s")
     ap.add_argument("--layers", type=int, default=0)
     ap.add_argument("--bits", type=int, default=4, help="8 = bit-matched int8 weights")
     ap.add_argument("--group", type=int, default=128)
@@ -51,6 +54,7 @@ def main():
     )
     from fastertransformer4codefuse_tpu.engine.speculative import (
         speculative_generate,
+        speculative_generate_batched,
     )
 
     cfg = GptNeoXConfig.codefuse_13b()
@@ -88,6 +92,27 @@ def main():
         toks, stats = speculative_generate(eng, prompt, args.out, k=args.k)
         dt = time.perf_counter() - t0
         return (len(toks) - len(prompt)) / dt, toks, stats
+
+    if args.batch > 1:
+        # B distinct repetitive prompts (different phrases -> different
+        # drafts, different accept lengths -> a real ragged-commit workload)
+        prompts = []
+        for b in range(args.batch):
+            ph = list(rng.integers(2, 50000, size=32))
+            prompts.append((ph * (args.in_len // 32 + 1))[: args.in_len])
+        speculative_generate_batched(eng, prompts, args.out, k=args.k)  # compile
+        t0 = time.perf_counter()
+        outs, stats = speculative_generate_batched(eng, prompts, args.out, k=args.k)
+        dt = time.perf_counter() - t0
+        emitted = sum(st.emitted for st in stats)
+        tps = sum(st.tokens_per_step for st in stats) / len(stats)
+        print(
+            f"batched B={args.batch}: {emitted / dt:.1f} tok/s aggregate "
+            f"({emitted} tokens in {dt:.2f}s), mean {tps:.2f} tok/step, "
+            f"iterations {stats[0].iterations} (slowest row)",
+            flush=True,
+        )
+        return
 
     for name, prompt in (("repeat", repeat),):
         g_rate, g_toks = timed_greedy(prompt)
