@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--pipeline", action="store_true",
                     help="pipeline_ticks=True: overlap host sync with the "
                     "next tick's compute (engine/batcher.py)")
+    ap.add_argument("--spec", action="store_true",
+                    help="speculative pool (engine/spec_pool.SpecPool): the "
+                    "tick is a (k+1)-wide verify; repetitive workload")
+    ap.add_argument("--spec-k", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -78,6 +82,42 @@ def main():
                       max_batch_size=args.slots, max_seq_len=args.max_seq),
     )
     rng = np.random.default_rng(0)
+
+    if args.spec:
+        # Pooled speculative serving: every slot drafts/commits its own
+        # width each tick. Repetitive prompts (the prompt-lookup regime).
+        from fastertransformer4codefuse_tpu.engine.spec_pool import SpecPool
+
+        pool = SpecPool(
+            eng, k=args.spec_k, max_slots=args.slots,
+            max_seq_len=args.max_seq, prompt_bucket=args.prompt_bucket,
+            pipeline_ticks=args.pipeline,
+        )
+        prompts = []
+        for i in range(args.requests):
+            ph = list(rng.integers(2, 50000, size=32))
+            prompts.append((ph * (args.in_len // 32 + 1))[: args.in_len])
+        # warm the tick/chunk programs
+        pool.submit(prompts[0], 2)
+        pool.run()
+        t0 = time.perf_counter()
+        for p in prompts:
+            pool.submit(p, args.out_len)
+        done = pool.run()
+        dt = time.perf_counter() - t0
+        total = sum(
+            len(r.output_ids) - len(p)
+            for r, p in zip(
+                (done[u] for u in sorted(done)[-len(prompts):]), prompts
+            )
+        )
+        print(
+            f"SPEC pool: {args.requests} reqs x {args.in_len}in/"
+            f"{args.out_len}out over {args.slots} slots (k={args.spec_k}): "
+            f"{total} tokens in {dt:.2f}s = {total / dt:.1f} tok/s aggregate",
+            flush=True,
+        )
+        return
 
     if args.mixed:
         # Mixed-length workload: does length-classed routing beat one

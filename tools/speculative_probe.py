@@ -18,6 +18,11 @@ workload): greedy 83.5 tok/s | spec 158.6 tok/s = **1.90x**, 2.39 tok/step,
 accept 150/672. (Random-weight bf16 argmax ties flip vs the engine's kernel
 schedule after ~13 generated tokens; the CPU fp32 suite pins token-exactness
 — trained weights rarely tie.)
+
+--batch B (2026-08-21, bit-matched int8, same workload shape): B=2 through
+speculative_generate_batched = **216.4 tok/s aggregate** (3.01 tok/step)
+vs 145.8 at B=1 — the shared loop runs until the slowest row finishes, so
+aggregate throughput scales with B while per-row latency stays near B=1.
 """
 from __future__ import annotations
 
