@@ -223,3 +223,24 @@ def test_paged_pool_pp_rejected():
             eng, max_slots=2, max_seq_len=32, prompt_bucket=8,
             paged=dict(num_pages=9, page_size=8),
         )
+
+
+def test_spec_pool_tp4_matches_unsharded_oneshot():
+    """Pooled SPECULATIVE decoding under TP: the (k+1)-wide verify tick runs
+    through the sharded prefill_chunk program (one all-reduce per layer) and
+    every commit must equal the unsharded one-shot greedy output."""
+    from fastertransformer4codefuse_tpu.engine.spec_pool import SpecPool
+
+    cfg = _cfg()
+    params = init_params(cfg, dtype="fp32")
+    refs = _refs(cfg, params)
+    eng = GptNeoXEngine(
+        cfg, params,
+        RuntimeConfig(dtype="fp32", seq_bucket=8, tensor_para_size=4),
+        mesh=build_mesh(tp=4),
+    )
+    cb = SpecPool(eng, k=4, ngram=2, max_slots=2, max_seq_len=32,
+                  prompt_bucket=8)
+    spec = cb._state["cache"]["k"].sharding.spec
+    assert spec[2] == "tp", f"spec-pool KV slab not head-sharded: {spec}"
+    _assert_parity(_run_pool(cb), refs)
