@@ -86,6 +86,11 @@ ATTEMPTS = [
         # throughput depends on output repetitiveness). Beats the A100's 75
         # tok/s on the reference's own bit-width (README.md:95-99).
         ("codefuse13b-int8-speculative-512in-256out", 8, 0, "int8", 512, 256, 72.6),
+        # speculation served FROM the continuous-batching pool (engine/
+        # spec_pool.py): 4 distinct repetitive requests over 2 slots, each
+        # slot drafting/committing its own width per tick — AGGREGATE tok/s
+        # (2 concurrent streams; same repetitive-workload label as above)
+        ("codefuse13b-int8-specpool-4rx512in-256out", 8, 0, "int8", 512, 256, 72.6),
         ("codefuse13b-int4w-g128-int8kv-1024in-512out", 4, 128, "int8", 1024, 512, 72.6),
 ]
 
@@ -98,7 +103,29 @@ def run_config(name):
             continue
         cfg, eng = build(kv, 128 if in_len >= 128 else 64,
                          weight_bits=bits, group_size=gs)
-        if "speculative" in cname:
+        if "specpool" in cname:
+            from fastertransformer4codefuse_tpu.engine.spec_pool import SpecPool
+
+            pool = SpecPool(
+                eng, k=8, max_slots=2, max_seq_len=896, prompt_bucket=128,
+                pipeline_ticks=True,
+            )
+            prompts = []
+            for _ in range(4):
+                phrase = list(rng.integers(2, 50000, size=32))
+                prompts.append((phrase * (in_len // 32 + 1))[:in_len])
+            pool.submit(prompts[0], 2)  # compile + warm (tick + chunk)
+            pool.run()
+            t0 = time.perf_counter()
+            uids = [pool.submit(p, out_len) for p in prompts]
+            done = pool.run()
+            dt = time.perf_counter() - t0
+            total = sum(
+                len(done[u].output_ids) - len(p)
+                for u, p in zip(uids, prompts)
+            )
+            toks = total / dt
+        elif "speculative" in cname:
             from fastertransformer4codefuse_tpu.engine.speculative import (
                 speculative_generate,
             )
