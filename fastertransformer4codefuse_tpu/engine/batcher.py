@@ -715,14 +715,24 @@ class ContinuousBatcher:
             return []
         return self._process_results(jax.device_get(self._inflight.pop(0)))
 
+    def _eff_key(self, r: Request):
+        """Admission/victim ordering key with priority AGING: every
+        preemption promotes the request one priority class, so sustained
+        higher-priority pressure cannot starve a low-priority request
+        forever — once it ages past its oppressors it stops being victim-
+        eligible and admits ahead of them. Ties stay FIFO by uid. (The
+        starvation hazard this closes was the documented r5 known-gap;
+        vLLM's recompute-preemption has the same aging need.)"""
+        return (r.priority - r.preemptions, r.uid)
+
     def _admit_pending(self) -> None:
         for slot in self._free_slots():
             if not self.pending:
                 break
-            # lowest (priority, uid) first: strict priority classes, FIFO
-            # within a class
+            # lowest effective-(priority, uid) first: strict priority
+            # classes, FIFO within a class, aged by preemption count
             nxt = min(range(len(self.pending)),
-                      key=lambda i: (self.pending[i].priority, self.pending[i].uid))
+                      key=lambda i: self._eff_key(self.pending[i]))
             if self.paged is not None:
                 r = self.pending[nxt]
                 if self.lazy:
@@ -819,7 +829,7 @@ class ContinuousBatcher:
             return r.done or r.slot != slot or r._pages is None
 
         for slot, r in sorted(
-            self.running.items(), key=lambda kv: (kv[1].priority, kv[1].uid)
+            self.running.items(), key=lambda kv: self._eff_key(kv[1])
         ):
             if stale(r, slot):
                 continue
@@ -830,11 +840,11 @@ class ContinuousBatcher:
             while not self.allocator.can(grow):
                 victims = [
                     v for v in self.running.values()
-                    if (v.priority, v.uid) > (r.priority, r.uid) and v._pages
+                    if self._eff_key(v) > self._eff_key(r) and v._pages
                 ]
                 if not victims:
                     break
-                self._preempt(max(victims, key=lambda v: (v.priority, v.uid)))
+                self._preempt(max(victims, key=self._eff_key))
                 if stale(r, slot):
                     break  # r itself finished/evicted during the flush
             if stale(r, slot):

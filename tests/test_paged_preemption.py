@@ -223,3 +223,24 @@ def test_streaming_decoder_survives_preemption():
             break
         gen.append(int(t))
     assert "".join(streamed) == tok.decode(gen), (streamed, gen)
+
+
+def test_aging_bounds_preemptions_under_sustained_pressure():
+    """Priority aging: a low-priority request under a sustained stream of
+    high-priority arrivals is preempted at most (priority gap + 1) times —
+    each preemption promotes it one class until it stops being victim-
+    eligible (the starvation hazard the strict-(priority, uid) order had)."""
+    eng = mk_engine()
+    cb = ContinuousBatcher(
+        eng, max_slots=2, max_seq_len=64, prompt_bucket=8,
+        paged=dict(num_pages=9, page_size=8, lazy=True),
+    )
+    lo = cb.submit(PROMPTS[0], 24, top_k=1, priority=3)
+    hi_uids = [
+        cb.submit(PROMPTS[1 + (i % 2)], 16, top_k=1, priority=0)
+        for i in range(6)
+    ]
+    done = cb.run(max_ticks=2000)
+    assert done[lo].done and all(done[u].done for u in hi_uids)
+    # gap is 3 classes -> at most 4 preemptions before lo outranks priority 0
+    assert done[lo].preemptions <= 4, done[lo].preemptions
