@@ -16,7 +16,8 @@ Capability map (reference -> here):
 from .core.config import GptNeoXConfig, RuntimeConfig
 from .engine.batcher import ContinuousBatcher
 from .engine.engine import GenerationOutput, GptNeoXEngine
-from .engine.speculative import speculative_generate
+from .engine.spec_pool import SpecPool
+from .engine.speculative import speculative_generate, speculative_generate_batched
 from .models.params import QuantizedTensor, init_params, cast_params
 
 __version__ = "0.1.0"
@@ -30,5 +31,7 @@ __all__ = [
     "init_params",
     "cast_params",
     "ContinuousBatcher",
+    "SpecPool",
     "speculative_generate",
+    "speculative_generate_batched",
 ]
