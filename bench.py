@@ -87,10 +87,10 @@ ATTEMPTS = [
         # tok/s on the reference's own bit-width (README.md:95-99).
         ("codefuse13b-int8-speculative-512in-256out", 8, 0, "int8", 512, 256, 72.6),
         # speculation served FROM the continuous-batching pool (engine/
-        # spec_pool.py): 4 distinct repetitive requests over 2 slots, each
+        # spec_pool.py): 8 distinct repetitive requests over 4 slots, each
         # slot drafting/committing its own width per tick — AGGREGATE tok/s
-        # (2 concurrent streams; same repetitive-workload label as above)
-        ("codefuse13b-int8-specpool-4rx512in-256out", 8, 0, "int8", 512, 256, 72.6),
+        # (4 concurrent streams; same repetitive-workload label as above)
+        ("codefuse13b-int8-specpool-8rx512in-256out", 8, 0, "int8", 512, 256, 72.6),
         ("codefuse13b-int4w-g128-int8kv-1024in-512out", 4, 128, "int8", 1024, 512, 72.6),
 ]
 
@@ -107,11 +107,11 @@ def run_config(name):
             from fastertransformer4codefuse_tpu.engine.spec_pool import SpecPool
 
             pool = SpecPool(
-                eng, k=8, max_slots=2, max_seq_len=896, prompt_bucket=128,
+                eng, k=8, max_slots=4, max_seq_len=896, prompt_bucket=128,
                 pipeline_ticks=True,
             )
             prompts = []
-            for _ in range(4):
+            for _ in range(8):
                 phrase = list(rng.integers(2, 50000, size=32))
                 prompts.append((phrase * (in_len // 32 + 1))[:in_len])
             pool.submit(prompts[0], 2)  # compile + warm (tick + chunk)

@@ -64,6 +64,13 @@ def main(argv=None):
     )
     parser.add_argument("--page_size", type=int, default=256)
     parser.add_argument(
+        "--speculative_pool", action="store_true",
+        help="with --serve: the pool is a speculative-serving SpecPool "
+        "(engine/spec_pool.py) — greedy requests flagged speculative ride "
+        "(k+1)-wide verify ticks; others use the static path",
+    )
+    parser.add_argument("--spec_k", type=int, default=8)
+    parser.add_argument(
         "--http", type=int, default=0, metavar="PORT",
         help="with --serve: expose POST /predict on this port instead of "
         "reading JSONL (api/http_server.py)",
@@ -99,6 +106,11 @@ def main(argv=None):
                     dict(paged=dict(num_pages=args.paged_pages,
                                     page_size=args.page_size))
                     if args.paged_pages
+                    else {}
+                ),
+                **(
+                    dict(speculative=True, spec_k=args.spec_k)
+                    if args.speculative_pool
                     else {}
                 ),
             )
