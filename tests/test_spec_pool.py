@@ -108,3 +108,18 @@ def test_spec_pool_rejects_non_greedy():
         pool.make_request([1, 2, 3], 8, stop_words=[[5]])
     with pytest.raises(ValueError):
         pool.make_request([1, 2, 3], 60)  # no draft margin left
+
+
+def test_spec_pool_pipelined_ticks_match():
+    """pipeline_ticks=True (the serving/bench default): dispatch-before-fetch
+    must not change any output — emissions lag one tick but attribution and
+    commits stay exact."""
+    cfg, eng = mk_engine(seed=2)
+    OUT = 14
+    refs = {tuple(p): greedy_ref(eng, p, OUT) for p in PROMPTS}
+    pool = SpecPool(eng, k=6, ngram=3, max_slots=2, max_seq_len=64,
+                    prompt_bucket=8, pipeline_ticks=True)
+    uids = {pool.submit(p, OUT): p for p in PROMPTS}
+    done = pool.run()
+    for uid, p in uids.items():
+        assert done[uid].output_ids == refs[tuple(p)], (p, done[uid].output_ids)
