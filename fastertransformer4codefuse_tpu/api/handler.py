@@ -105,8 +105,12 @@ class CodeFuseHandler:
 
         ``pool``: kwargs for engine.server.BatchingServer (e.g.
         ``dict(max_slots=8, max_seq_len=2048)``) — enables continuous-batching
-        serving. Requests too long for the pool, beam requests, and
-        prompt-learning requests transparently use the static path."""
+        serving. ``dict(speculative=True, spec_k=8, ...)`` builds a
+        speculative-serving pool (engine/spec_pool.py): greedy requests
+        flagged ``speculative`` ride (k+1)-wide verify ticks, everything
+        else uses the static path. Requests too long for the pool and
+        requests the pool class cannot serve transparently use the static
+        path."""
         if engine is None:
             engine, tokenizer, trie = init_engine_and_tokenizer(
                 ckpt_path,
